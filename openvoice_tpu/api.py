@@ -1,0 +1,311 @@
+"""User-facing API: `ToneColorConverter` and `BaseSpeakerTTS`.
+
+Mirrors the reference surface (api.py:14-201) so reference users can switch
+with minimal changes, but the execution model is TPU-native:
+
+* every device computation is a jitted graph cached per length *bucket*
+  (runtime/bucketing.py) — no per-utterance recompiles, no dynamic shapes;
+* spectrogram framing semantics are kept exact by reflect-padding the true
+  signal on host before zero-extending to the bucket (the reference computes
+  STFT at exact length; masking does the rest);
+* RNG is explicit (`seed` arguments) instead of global torch state;
+* checkpoints: reference .pth (via torch) or portable .npz pytrees.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from openvoice_tpu.audio.io import load_audio, write_wav
+from openvoice_tpu.audio.stft import frame_signal, stft_basis
+from openvoice_tpu.config import HParams, SynthesizerConfig, load_hparams
+from openvoice_tpu.models import synthesizer as S
+from openvoice_tpu.runtime.bucketing import round_up_to_bucket
+from openvoice_tpu.pipeline import watermark as wm
+
+
+def _spec_from_audio(audio: np.ndarray, cfg: SynthesizerConfig) -> tuple[np.ndarray, int]:
+    """Host reflect-pad + true frame count; returns (padded_audio_1d, n_frames).
+
+    Matches spectrogram_torch framing (mel_processing.py:54-74): pad
+    (n_fft-hop)/2 reflect on both sides, center=False.
+    """
+    pad = (cfg.filter_length - cfg.hop_length) // 2
+    padded = np.concatenate([audio[1 : pad + 1][::-1], audio, audio[-pad - 1 : -1][::-1]])
+    n_frames = (len(padded) - cfg.filter_length) // cfg.hop_length + 1
+    return padded, n_frames
+
+
+@partial(jax.jit, static_argnames=("n_fft", "hop", "win"))
+def _spec_btf(padded_audio: jnp.ndarray, n_fft: int, hop: int, win: int) -> jnp.ndarray:
+    """[B, L_padded] pre-reflect-padded audio → [B, T, n_freq] magnitudes."""
+    frames = frame_signal(padded_audio.astype(jnp.float32), n_fft, hop)
+    basis = jnp.asarray(stft_basis(n_fft, win))
+    proj = jnp.dot(frames, basis, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    n_freq = n_fft // 2 + 1
+    re_, im_ = proj[..., :n_freq], proj[..., n_freq:]
+    return jnp.sqrt(re_ * re_ + im_ * im_ + 1e-6)
+
+
+class OpenVoiceBaseClass:
+    """Config + params holder (reference api.py:14-39 equivalent)."""
+
+    def __init__(self, config_path: str | None = None, cfg: SynthesizerConfig | None = None):
+        if config_path is not None:
+            self.hps: HParams | None = load_hparams(config_path)
+            self.cfg = SynthesizerConfig.from_hparams(self.hps)
+            self.version = self.hps.get("_version_", "v1")
+        else:
+            assert cfg is not None
+            self.hps = None
+            self.cfg = cfg
+            self.version = "v2" if cfg.zero_g else "v1"
+        self.params: dict | None = None
+
+    def load_ckpt(self, ckpt_path: str) -> dict:
+        """Load reference .pth (torch) or portable .npz; returns the
+        missing/unexpected report (strict=False semantics, api.py:35-39)."""
+        if ckpt_path.endswith(".npz"):
+            from openvoice_tpu.ckpt.torch_import import load_params_npz
+
+            self.params = load_params_npz(ckpt_path)
+            report = {"missing": [], "unexpected": []}
+        else:
+            from openvoice_tpu.ckpt.torch_import import load_torch_checkpoint
+
+            self.params, report = load_torch_checkpoint(ckpt_path, self.cfg)
+        print(f"Loaded checkpoint '{ckpt_path}'")
+        print("missing/unexpected keys:", report["missing"], report["unexpected"])
+        return report
+
+    def init_random(self, seed: int = 0) -> None:
+        """Random weights (development / benchmarking without a checkpoint)."""
+        self.params = S.init_synthesizer(jax.random.PRNGKey(seed), self.cfg)
+
+    def _require_params(self) -> dict:
+        if self.params is None:
+            raise RuntimeError("no weights loaded: call load_ckpt() or init_random()")
+        return self.params
+
+
+class ToneColorConverter(OpenVoiceBaseClass):
+    """Zero-shot tone-color conversion (reference api.py:101-201)."""
+
+    def __init__(self, *args, enable_watermark: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.enable_watermark = enable_watermark
+
+    # -- speaker embeddings -------------------------------------------------
+
+    def extract_se(self, ref_wav_list, se_save_path: str | None = None) -> np.ndarray:
+        """Per-file SE then mean over files (api.py:114-139); returns
+        [1, gin, 1] to stay drop-in with reference .pth SE tensors."""
+        if isinstance(ref_wav_list, str):
+            ref_wav_list = [ref_wav_list]
+        ses = []
+        for fname in ref_wav_list:
+            audio, _ = load_audio(fname, sr=self.cfg.sampling_rate)
+            ses.append(self._se_from_audio_batch([audio]))
+        se = np.stack(ses).mean(0)  # [gin]
+        out = se[None, :, None].astype(np.float32)
+        if se_save_path is not None:
+            os.makedirs(os.path.dirname(se_save_path) or ".", exist_ok=True)
+            np.save(se_save_path if se_save_path.endswith(".npy") else se_save_path + ".npy", out)
+        return out
+
+    def extract_se_from_file(self, audio_path: str, vad: bool = True) -> np.ndarray:
+        """VAD-segment a reference recording, batch segments through ref_enc,
+        mean → [1, gin, 1] (the get_se fast path)."""
+        from openvoice_tpu.pipeline.se_extractor import split_audio_vad
+
+        audio, sr = load_audio(audio_path, sr=self.cfg.sampling_rate)
+        segments = split_audio_vad(audio, sr) if vad else [audio]
+        se = self._se_from_audio_batch(segments)
+        return se[None, :, None].astype(np.float32)
+
+    def _se_from_audio_batch(self, audios: list[np.ndarray]) -> np.ndarray:
+        """Mean tone color over a batch of same-speaker clips → [gin].
+
+        All clips run as ONE length-aware batched graph per bucket: padded to
+        the largest clip's bucket, true frame counts passed as lengths (the
+        masked ref_enc is exact — see nn/ref_encoder.py)."""
+        params = self._require_params()
+        cfg = self.cfg
+        prepared = [_spec_from_audio(a, cfg) for a in audios]
+        bucket = round_up_to_bucket(max(n for _, n in prepared))
+        target_len = (bucket - 1) * cfg.hop_length + cfg.filter_length
+        batch = np.zeros((len(prepared), target_len), np.float32)
+        lengths = np.zeros(len(prepared), np.int32)
+        for i, (padded, n_frames) in enumerate(prepared):
+            batch[i, : len(padded)] = padded
+            lengths[i] = n_frames
+        spec = _spec_btf(jnp.asarray(batch), cfg.filter_length, cfg.hop_length, cfg.win_length)
+        ses = _jit_tone_color(params, spec, jnp.asarray(lengths))
+        return np.mean(np.asarray(ses), axis=0)
+
+    # -- conversion ---------------------------------------------------------
+
+    def convert(
+        self,
+        audio_src_path,
+        src_se,
+        tgt_se,
+        output_path: str | None = None,
+        tau: float = 0.3,
+        message: str = "default",
+        seed: int = 0,
+    ):
+        """Reference-compatible convert (api.py:141-160).
+
+        `audio_src_path` may be a path or a float waveform at sampling_rate.
+        src/tgt SE accept [1, gin, 1] (reference layout) or [gin].
+        """
+        cfg = self.cfg
+        params = self._require_params()
+        if isinstance(audio_src_path, (str, os.PathLike)):
+            audio, _ = load_audio(str(audio_src_path), sr=cfg.sampling_rate)
+        else:
+            audio = np.asarray(audio_src_path, np.float32)
+
+        padded, n_frames = _spec_from_audio(audio, cfg)
+        bucket = round_up_to_bucket(n_frames)
+        target_len = (bucket - 1) * cfg.hop_length + cfg.filter_length
+        buf = np.zeros(target_len, np.float32)
+        buf[: len(padded)] = padded
+
+        g_src = self._as_g(src_se)
+        g_tgt = self._as_g(tgt_se)
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed), (1, bucket, cfg.inter_channels), jnp.float32
+        )
+        out = _jit_convert(
+            params, cfg, jnp.asarray(buf)[None], jnp.asarray([n_frames]),
+            g_src, g_tgt, float(tau), noise,
+        )
+        audio_out = np.asarray(out)[0, : n_frames * cfg.upsample_factor, 0]
+        if self.enable_watermark and message:
+            audio_out = self.add_watermark(audio_out, message)
+        if output_path is None:
+            return audio_out
+        write_wav(output_path, audio_out, cfg.sampling_rate)
+        return None
+
+    def _as_g(self, se) -> jnp.ndarray:
+        se = np.asarray(se, np.float32)
+        if se.ndim == 3:  # [1, gin, 1] reference layout
+            se = se[0, :, 0]
+        elif se.ndim == 2:
+            se = se.reshape(-1)
+        return jnp.asarray(se)[None, None, :]  # [1, 1, gin]
+
+    # -- watermark ----------------------------------------------------------
+
+    def add_watermark(self, audio: np.ndarray, message: str) -> np.ndarray:
+        if not self.enable_watermark:
+            return audio
+        return wm.add_watermark(audio, message)
+
+    def detect_watermark(self, audio: np.ndarray, n_repeat: int) -> str:
+        return wm.detect_watermark(audio, n_repeat)
+
+
+_jit_tone_color = jax.jit(S.extract_tone_color)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_convert(params, cfg, padded_audio, spec_lengths, g_src, g_tgt, tau, noise):
+    """The whole convert path — STFT → enc_q → flows → decoder — as ONE
+    compiled graph per bucket (SURVEY.md §7.1)."""
+    spec = _spec_inner(padded_audio, cfg)
+    audio, _ = S.voice_conversion(params, cfg, spec, spec_lengths, g_src, g_tgt, tau, noise)
+    return audio
+
+
+def _spec_inner(padded_audio: jnp.ndarray, cfg: SynthesizerConfig) -> jnp.ndarray:
+    frames = frame_signal(padded_audio.astype(jnp.float32), cfg.filter_length, cfg.hop_length)
+    basis = jnp.asarray(stft_basis(cfg.filter_length, cfg.win_length))
+    proj = jnp.dot(frames, basis, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    n_freq = cfg.filter_length // 2 + 1
+    re_, im_ = proj[..., :n_freq], proj[..., n_freq:]
+    return jnp.sqrt(re_ * re_ + im_ * im_ + 1e-6)
+
+
+class BaseSpeakerTTS(OpenVoiceBaseClass):
+    """V1 text→speech in stock voices (reference api.py:42-98)."""
+
+    language_marks = {"english": "EN", "chinese": "ZH"}
+
+    def tts(
+        self,
+        text: str,
+        output_path: str | None,
+        speaker: str,
+        language: str = "English",
+        speed: float = 1.0,
+        seed: int = 0,
+    ):
+        from openvoice_tpu.text import intersperse, text_to_sequence
+        from openvoice_tpu.text.split import split_sentence
+
+        cfg = self.cfg
+        params = self._require_params()
+        mark = self.language_marks.get(language.lower())
+        assert mark is not None, f"language {language} is not supported"
+
+        if self.hps is not None:
+            symbols = list(self.hps.symbols)
+            cleaners = list(self.hps.data.text_cleaners)
+            speaker_id = self.hps.speakers[speaker]
+        else:
+            from openvoice_tpu.text import default_symbols
+
+            symbols = default_symbols
+            cleaners = ["cjke_cleaners2"]
+            speaker_id = int(speaker) if not isinstance(speaker, int) else speaker
+
+        texts = split_sentence(text, language_str=mark)
+        pieces = []
+        key = jax.random.PRNGKey(seed)
+        for t in texts:
+            t = re.sub(r"([a-z])([A-Z])", r"\1 \2", t)
+            t = f"[{mark}]{t}[{mark}]"
+            seq = text_to_sequence(t, symbols, cleaners)
+            if cfg.add_blank:
+                seq = intersperse(seq, 0)
+            tokens = np.asarray(seq, np.int32)
+            t_bucket = round_up_to_bucket(len(tokens))
+            padded = np.zeros(t_bucket, np.int32)
+            padded[: len(tokens)] = tokens
+            key, sub = jax.random.split(key)
+            audio, lengths = S.infer(
+                params, cfg, jnp.asarray(padded)[None], jnp.asarray([len(tokens)]),
+                jnp.asarray([speaker_id]), sub,
+                noise_scale=0.667, noise_scale_w=0.6,
+                length_scale=1.0 / speed, sdp_ratio=0.2,
+            )
+            pieces.append(audio[0, : lengths[0]])
+
+        out = _concat_with_gaps(pieces, cfg.sampling_rate, speed)
+        if output_path is None:
+            return out
+        write_wav(output_path, out, cfg.sampling_rate)
+        return None
+
+
+def _concat_with_gaps(pieces: list[np.ndarray], sr: int, speed: float) -> np.ndarray:
+    """0.05 s ÷ speed silence between sentences (api.py:56-63)."""
+    gap = np.zeros(int(sr * 0.05 / speed), np.float32)
+    out: list[np.ndarray] = []
+    for p in pieces:
+        out.append(np.asarray(p, np.float32).reshape(-1))
+        out.append(gap)
+    return np.concatenate(out) if out else np.zeros(0, np.float32)

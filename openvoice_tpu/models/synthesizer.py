@@ -1,0 +1,506 @@
+"""The VITS-style synthesizer: posterior encoder + coupling flow + HiFi-GAN
+decoder, with either a tone-color reference encoder (converter mode,
+n_speakers == 0) or a text path (base-TTS mode, n_speakers > 0) — mirroring
+the capability split of the reference SynthesizerTrn (models.py:399-499).
+
+Everything is a pure function over a parameter pytree; RNG is explicit.
+`voice_conversion` and `infer_*` are designed to be jitted per length bucket
+(static padded shapes + masks).  Layout is [B, T, C] throughout; the
+spectrogram enters as [B, T, n_freq].
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openvoice_tpu.config import SynthesizerConfig
+from openvoice_tpu.models.align import generate_path, sequence_mask
+from openvoice_tpu.nn.attention import apply_encoder
+from openvoice_tpu.nn.conv import conv1d
+from openvoice_tpu.nn.duration import (
+    apply_duration_predictor,
+    apply_sdp_reverse,
+)
+from openvoice_tpu.nn.flows import apply_coupling_block
+from openvoice_tpu.nn.hifigan import apply_generator
+from openvoice_tpu.nn.ref_encoder import apply_reference_encoder
+from openvoice_tpu.nn.wavenet import apply_wn
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+def _conv_init(rng, k, cin, cout, zero=False, groups=1, bias=True):
+    kw, kb = jax.random.split(rng)
+    fan_in = cin // groups * k
+    s = 1.0 / math.sqrt(fan_in)
+    if zero:
+        w = jnp.zeros((k, cin // groups, cout), jnp.float32)
+        b = jnp.zeros((cout,), jnp.float32) if bias else None
+    else:
+        w = jax.random.uniform(kw, (k, cin // groups, cout), jnp.float32, -s, s)
+        b = jax.random.uniform(kb, (cout,), jnp.float32, -s, s) if bias else None
+    p = {"w": w}
+    if bias:
+        p["b"] = b
+    return p
+
+
+def _conv2d_init(rng, kh, kw_, cin, cout):
+    k1, k2 = jax.random.split(rng)
+    s = 1.0 / math.sqrt(cin * kh * kw_)
+    return {
+        "w": jax.random.uniform(k1, (kh, kw_, cin, cout), jnp.float32, -s, s),
+        "b": jax.random.uniform(k2, (cout,), jnp.float32, -s, s),
+    }
+
+
+def _linear_init(rng, cin, cout):
+    k1, k2 = jax.random.split(rng)
+    s = 1.0 / math.sqrt(cin)
+    return {
+        "w": jax.random.uniform(k1, (cin, cout), jnp.float32, -s, s),
+        "b": jax.random.uniform(k2, (cout,), jnp.float32, -s, s),
+    }
+
+
+def _ln_init(c):
+    return {"gamma": jnp.ones((c,), jnp.float32), "beta": jnp.zeros((c,), jnp.float32)}
+
+
+def _wn_init(rng, hidden, kernel, n_layers, gin):
+    keys = jax.random.split(rng, 2 * n_layers + 1)
+    p = {"in": [], "res_skip": [], "cond": None}
+    for i in range(n_layers):
+        p["in"].append(_conv_init(keys[2 * i], kernel, hidden, 2 * hidden))
+        out = 2 * hidden if i < n_layers - 1 else hidden
+        p["res_skip"].append(_conv_init(keys[2 * i + 1], 1, hidden, out))
+    if gin:
+        p["cond"] = _conv_init(keys[-1], 1, gin, 2 * hidden * n_layers)
+    return p
+
+
+def _ddsconv_init(rng, channels, kernel, n_layers):
+    keys = jax.random.split(rng, 2 * n_layers)
+    layers = []
+    for i in range(n_layers):
+        layers.append(
+            {
+                "sep": _conv_init(keys[2 * i], kernel, channels, channels, groups=channels),
+                "pw": _conv_init(keys[2 * i + 1], 1, channels, channels),
+                "norm1": _ln_init(channels),
+                "norm2": _ln_init(channels),
+            }
+        )
+    return {"layers": layers}
+
+
+def _conv_flow_init(rng, half, filter_channels, kernel, n_layers, num_bins=10):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "pre": _conv_init(k1, 1, half, filter_channels),
+        "dds": _ddsconv_init(k2, filter_channels, kernel, n_layers),
+        "proj": _conv_init(k3, 1, filter_channels, half * (num_bins * 3 - 1), zero=True),
+    }
+
+
+def _sdp_init(rng, in_channels, kernel, gin, n_flows=4):
+    # reference overrides filter_channels = in_channels (models.py:105)
+    filt = in_channels
+    keys = jax.random.split(rng, 16)
+    flows = {
+        "ea": {"m": jnp.zeros((2,)), "logs": jnp.zeros((2,))},
+        "conv_flows": [_conv_flow_init(keys[i], 1, filt, kernel, 3) for i in range(n_flows)],
+    }
+    post_flows = {
+        "ea": {"m": jnp.zeros((2,)), "logs": jnp.zeros((2,))},
+        "conv_flows": [_conv_flow_init(keys[4 + i], 1, filt, kernel, 3) for i in range(4)],
+    }
+    p = {
+        "pre": _conv_init(keys[8], 1, in_channels, filt),
+        "proj": _conv_init(keys[9], 1, filt, filt),
+        "convs": _ddsconv_init(keys[10], filt, kernel, 3),
+        "flows": flows,
+        "post_pre": _conv_init(keys[11], 1, 1, filt),
+        "post_proj": _conv_init(keys[12], 1, filt, filt),
+        "post_convs": _ddsconv_init(keys[13], filt, kernel, 3),
+        "post_flows": post_flows,
+        "cond": _conv_init(keys[14], 1, gin, filt) if gin else None,
+    }
+    return p
+
+
+def _dp_init(rng, in_channels, filter_channels, kernel, gin):
+    keys = jax.random.split(rng, 4)
+    return {
+        "conv1": _conv_init(keys[0], kernel, in_channels, filter_channels),
+        "norm1": _ln_init(filter_channels),
+        "conv2": _conv_init(keys[1], kernel, filter_channels, filter_channels),
+        "norm2": _ln_init(filter_channels),
+        "proj": _conv_init(keys[2], 1, filter_channels, 1),
+        "cond": _conv_init(keys[3], 1, gin, in_channels) if gin else None,
+    }
+
+
+def _attn_layer_init(rng, hidden, filter_channels, n_heads, kernel, window):
+    keys = jax.random.split(rng, 8)
+    dk = hidden // n_heads
+    rel_std = dk**-0.5
+    return {
+        "attn": {
+            "q": _linear_init(keys[0], hidden, hidden),
+            "k": _linear_init(keys[1], hidden, hidden),
+            "v": _linear_init(keys[2], hidden, hidden),
+            "o": _linear_init(keys[3], hidden, hidden),
+            "emb_rel_k": jax.random.normal(keys[4], (2 * window + 1, dk)) * rel_std,
+            "emb_rel_v": jax.random.normal(keys[5], (2 * window + 1, dk)) * rel_std,
+        },
+        "norm1": _ln_init(hidden),
+        "ffn": {
+            "conv1": _conv_init(keys[6], kernel, hidden, filter_channels),
+            "conv2": _conv_init(keys[7], kernel, filter_channels, hidden),
+        },
+        "norm2": _ln_init(hidden),
+    }
+
+
+def init_synthesizer(rng: jax.Array, cfg: SynthesizerConfig) -> dict:
+    """Random-init parameter pytree structurally identical to a checkpoint
+    import (ckpt/torch_import.py), so all code paths work without weights."""
+    keys = jax.random.split(rng, 24)
+    h = cfg.hidden_channels
+    inter = cfg.inter_channels
+    gin = cfg.gin_channels
+
+    # posterior encoder (models.py:438-446)
+    enc_q = {
+        "pre": _conv_init(keys[0], 1, cfg.spec_channels, h),
+        "wn": _wn_init(keys[1], h, cfg.enc_q_kernel_size, cfg.enc_q_layers, gin),
+        "proj": _conv_init(keys[2], 1, h, inter * 2),
+    }
+
+    # coupling flow (models.py:448)
+    flow_layers = []
+    fkeys = jax.random.split(keys[3], cfg.flow_n_flows)
+    for i in range(cfg.flow_n_flows):
+        k1, k2, k3 = jax.random.split(fkeys[i], 3)
+        flow_layers.append(
+            {
+                "pre": _conv_init(k1, 1, inter // 2, h),
+                "wn": _wn_init(k2, h, cfg.flow_kernel_size, cfg.flow_wn_layers, gin),
+                "post": _conv_init(k3, 1, h, inter // 2, zero=True),
+            }
+        )
+    flow = {"layers": flow_layers}
+
+    # HiFi-GAN decoder (models.py:428-437)
+    ups = []
+    resblocks = []
+    ukeys = jax.random.split(keys[4], len(cfg.upsample_rates))
+    ch = cfg.upsample_initial_channel
+    for i, (u, k_up) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        cin, cout = ch // (2**i), ch // (2 ** (i + 1))
+        kk = jax.random.split(ukeys[i], 1 + len(cfg.resblock_kernel_sizes))
+        # init_weights: normal(0, 0.01) (commons.py:6-9)
+        w = jax.random.normal(kk[0], (k_up, cin, cout)) * 0.01
+        ups.append({"w": w, "b": jnp.zeros((cout,))})
+        for j, (k_rb, dils) in enumerate(
+            zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+        ):
+            rkeys = jax.random.split(kk[1 + j], 2 * len(dils))
+            if cfg.resblock == "1":
+                rb = {
+                    "convs1": [
+                        {
+                            "w": jax.random.normal(rkeys[2 * d], (k_rb, cout, cout)) * 0.01,
+                            "b": jnp.zeros((cout,)),
+                        }
+                        for d in range(len(dils))
+                    ],
+                    "convs2": [
+                        {
+                            "w": jax.random.normal(rkeys[2 * d + 1], (k_rb, cout, cout)) * 0.01,
+                            "b": jnp.zeros((cout,)),
+                        }
+                        for d in range(len(dils))
+                    ],
+                }
+            else:
+                rb = {
+                    "convs": [
+                        {
+                            "w": jax.random.normal(rkeys[d], (k_rb, cout, cout)) * 0.01,
+                            "b": jnp.zeros((cout,)),
+                        }
+                        for d in range(len(dils))
+                    ]
+                }
+            resblocks.append(rb)
+    dec = {
+        "conv_pre": _conv_init(keys[5], 7, inter, cfg.upsample_initial_channel),
+        "ups": ups,
+        "resblocks": resblocks,
+        "conv_post": _conv_init(keys[6], 7, cout, 1, bias=False),
+        "cond": _conv_init(keys[7], 1, gin, cfg.upsample_initial_channel) if gin else None,
+    }
+
+    params = {"enc_q": enc_q, "flow": flow, "dec": dec}
+
+    if cfg.n_speakers == 0:
+        # tone-color reference encoder (models.py:301-364)
+        filters = [1, 32, 32, 64, 64, 128, 128]
+        ckeys = jax.random.split(keys[8], 6)
+        convs = [
+            _conv2d_init(ckeys[i], 3, 3, filters[i], filters[i + 1]) for i in range(6)
+        ]
+        # GRU input size: 128 * (spec_channels reduced by 6 stride-2 convs)
+        L = cfg.spec_channels
+        for _ in range(6):
+            L = (L - 3 + 2 * 1) // 2 + 1
+        gkeys = jax.random.split(keys[9], 4)
+        s = 1.0 / math.sqrt(128)
+        gru = {
+            "w_ih": jax.random.uniform(gkeys[0], (128 * L, 3 * 128), jnp.float32, -s, s),
+            "w_hh": jax.random.uniform(gkeys[1], (128, 3 * 128), jnp.float32, -s, s),
+            "b_ih": jax.random.uniform(gkeys[2], (3 * 128,), jnp.float32, -s, s),
+            "b_hh": jax.random.uniform(gkeys[3], (3 * 128,), jnp.float32, -s, s),
+        }
+        params["ref_enc"] = {
+            "layernorm": _ln_init(cfg.spec_channels),
+            "convs": convs,
+            "gru": gru,
+            "proj": _linear_init(keys[10], 128, gin),
+        }
+    else:
+        # text path (models.py:454-464)
+        ekeys = jax.random.split(keys[11], cfg.n_layers + 2)
+        enc_layers = [
+            _attn_layer_init(
+                ekeys[i], h, cfg.filter_channels, cfg.n_heads, cfg.kernel_size, cfg.attn_window_size
+            )
+            for i in range(cfg.n_layers)
+        ]
+        params["enc_p"] = {
+            "emb": jax.random.normal(ekeys[-2], (cfg.n_vocab, h)) * (h**-0.5),
+            "encoder": {"layers": enc_layers},
+            "proj": _conv_init(ekeys[-1], 1, h, inter * 2),
+        }
+        params["sdp"] = _sdp_init(keys[12], h, cfg.sdp_kernel_size, gin)
+        params["dp"] = _dp_init(keys[13], h, cfg.dp_filter_channels, cfg.dp_kernel_size, gin)
+        params["emb_g"] = jax.random.normal(keys[14], (cfg.n_speakers, gin))
+
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Model graphs
+# ---------------------------------------------------------------------------
+
+def posterior_encode(
+    params: dict,
+    cfg: SynthesizerConfig,
+    spec: jnp.ndarray,
+    spec_mask: jnp.ndarray,
+    g: jnp.ndarray | None,
+    tau: float | jnp.ndarray,
+    noise: jnp.ndarray,
+):
+    """spec: [B, T, n_freq] → z, m, logs (each [B, T, inter]).
+
+    z = (m + noise · tau · exp(logs)) · mask  (models.py:212-221); the caller
+    supplies `noise` (standard normal) so RNG policy stays external — tau=0
+    with zero noise gives the deterministic path used by parity tests.
+    """
+    x = conv1d(spec, params["enc_q"]["pre"]["w"], params["enc_q"]["pre"]["b"]) * spec_mask
+    x = apply_wn(params["enc_q"]["wn"], x, spec_mask, g=g)
+    stats = conv1d(x, params["enc_q"]["proj"]["w"], params["enc_q"]["proj"]["b"]) * spec_mask
+    m, logs = stats[..., : cfg.inter_channels], stats[..., cfg.inter_channels :]
+    z = (m + noise * tau * jnp.exp(logs)) * spec_mask
+    return z, m, logs
+
+
+def extract_tone_color(
+    params: dict, spec: jnp.ndarray, lengths: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """spec: [B, T, n_freq] (+ optional true frame lengths) →
+    [B, gin_channels] speaker embedding (ref_enc path, api.py:131)."""
+    return apply_reference_encoder(params["ref_enc"], spec, lengths)
+
+
+def voice_conversion(
+    params: dict,
+    cfg: SynthesizerConfig,
+    spec: jnp.ndarray,
+    spec_lengths: jnp.ndarray,
+    g_src: jnp.ndarray,
+    g_tgt: jnp.ndarray,
+    tau: float | jnp.ndarray,
+    noise: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Tone-color conversion (models.py:492-499).
+
+    spec: [B, T, n_freq]; g_src/g_tgt: [B, 1, gin]; noise: [B, T, inter].
+    Returns (audio [B, T*upsample, 1], y_mask [B, T, 1]).
+
+    zero_g semantics follow the reference exactly: the posterior encoder and
+    decoder see zeroed speaker vectors in V2, the flow always sees the real
+    src/tgt embeddings (models.py:495-498).
+    """
+    t = spec.shape[1]
+    y_mask = sequence_mask(spec_lengths, t)[..., None].astype(spec.dtype)
+    g_enc = jnp.zeros_like(g_src) if cfg.zero_g else g_src
+    g_dec = jnp.zeros_like(g_tgt) if cfg.zero_g else g_tgt
+
+    z, _, _ = posterior_encode(params, cfg, spec, y_mask, g_enc, tau, noise)
+    z_p = apply_coupling_block(params["flow"], z, y_mask, g=g_src, reverse=False)
+    z_hat = apply_coupling_block(params["flow"], z_p, y_mask, g=g_tgt, reverse=True)
+    audio = apply_generator(
+        params["dec"],
+        z_hat * y_mask,
+        resblock_kind=cfg.resblock,
+        resblock_dilation_sizes=cfg.resblock_dilation_sizes,
+        upsample_rates=cfg.upsample_rates,
+        upsample_kernel_sizes=cfg.upsample_kernel_sizes,
+        g=g_dec,
+        x_mask=y_mask,
+    )
+    return audio, y_mask
+
+
+class TTSEncodeOut(NamedTuple):
+    """Static-shape output of the text-side stage of TTS inference."""
+
+    m_p: jnp.ndarray  # [B, T_x, inter]
+    logs_p: jnp.ndarray  # [B, T_x, inter]
+    x_mask: jnp.ndarray  # [B, T_x, 1]
+    w_ceil: jnp.ndarray  # [B, T_x] integral durations
+    g: jnp.ndarray | None  # [B, 1, gin]
+
+
+def tts_encode(
+    params: dict,
+    cfg: SynthesizerConfig,
+    tokens: jnp.ndarray,
+    token_lengths: jnp.ndarray,
+    sid: jnp.ndarray | None,
+    rng: jax.Array,
+    noise_scale_w: float = 0.6,
+    length_scale: float = 1.0,
+    sdp_ratio: float = 0.2,
+) -> TTSEncodeOut:
+    """Text encoder + duration predictors → integral durations
+    (first half of models.py:467-482, up to the data-dependent length).
+
+    tokens: [B, T_x] int32.  Jittable: output shapes depend only on T_x.
+    """
+    t_x = tokens.shape[1]
+    x_mask = sequence_mask(token_lengths, t_x)[..., None].astype(jnp.float32)
+
+    h = params["enc_p"]["emb"][tokens] * math.sqrt(cfg.hidden_channels)
+    h = apply_encoder(
+        params["enc_p"]["encoder"],
+        h * x_mask,
+        x_mask,
+        n_heads=cfg.n_heads,
+        kernel_size=cfg.kernel_size,
+        window_size=cfg.attn_window_size,
+    )
+    stats = conv1d(h, params["enc_p"]["proj"]["w"], params["enc_p"]["proj"]["b"]) * x_mask
+    m_p, logs_p = stats[..., : cfg.inter_channels], stats[..., cfg.inter_channels :]
+
+    if cfg.n_speakers > 0 and sid is not None:
+        g = params["emb_g"][sid][:, None, :]  # [B, 1, gin]
+    else:
+        g = None
+
+    logw_sdp = apply_sdp_reverse(
+        params["sdp"], h, x_mask, g=g, noise_scale=noise_scale_w, rng=rng
+    )
+    logw_dp = apply_duration_predictor(params["dp"], h, x_mask, g=g)
+    logw = logw_sdp * sdp_ratio + logw_dp * (1.0 - sdp_ratio)
+    w = jnp.exp(logw) * x_mask * length_scale
+    w_ceil = jnp.ceil(w)[..., 0]  # [B, T_x]
+    return TTSEncodeOut(m_p=m_p, logs_p=logs_p, x_mask=x_mask, w_ceil=w_ceil, g=g)
+
+
+def tts_decode(
+    params: dict,
+    cfg: SynthesizerConfig,
+    enc: TTSEncodeOut,
+    max_frames: int,
+    noise: jnp.ndarray,
+    noise_scale: float = 0.667,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Length-regulate + reverse flow + decode, padded to static `max_frames`
+    (second half of models.py:479-490).
+
+    noise: [B, max_frames, inter] standard normal.
+    Returns (audio [B, max_frames·upsample, 1], y_mask [B, max_frames, 1]).
+    """
+    y_lengths = jnp.clip(jnp.sum(enc.w_ceil, axis=-1), 1, max_frames).astype(jnp.int32)
+    y_mask = sequence_mask(y_lengths, max_frames)[..., None].astype(enc.m_p.dtype)
+    attn_mask = y_mask * jnp.swapaxes(enc.x_mask, 1, 2)  # [B, T_y, T_x]
+    attn = generate_path(enc.w_ceil, attn_mask)  # [B, T_y, T_x]
+
+    m_p = jnp.einsum("byt,btc->byc", attn, enc.m_p, precision=jax.lax.Precision.HIGHEST)
+    logs_p = jnp.einsum("byt,btc->byc", attn, enc.logs_p, precision=jax.lax.Precision.HIGHEST)
+
+    z_p = m_p + noise * jnp.exp(logs_p) * noise_scale
+    z = apply_coupling_block(params["flow"], z_p, y_mask, g=enc.g, reverse=True)
+    audio = apply_generator(
+        params["dec"],
+        z * y_mask,
+        resblock_kind=cfg.resblock,
+        resblock_dilation_sizes=cfg.resblock_dilation_sizes,
+        upsample_rates=cfg.upsample_rates,
+        upsample_kernel_sizes=cfg.upsample_kernel_sizes,
+        g=enc.g,
+        x_mask=y_mask,
+    )
+    return audio, y_mask
+
+
+# jitted stage wrappers: one compiled program per (cfg, token-bucket) /
+# (cfg, frame-bucket); sampling knobs stay traced so changing them is free
+tts_encode_jit = jax.jit(tts_encode, static_argnames=("cfg",))
+tts_decode_jit = jax.jit(tts_decode, static_argnames=("cfg", "max_frames"))
+voice_conversion_jit = jax.jit(voice_conversion, static_argnames=("cfg",))
+
+
+def infer(
+    params: dict,
+    cfg: SynthesizerConfig,
+    tokens: jnp.ndarray,
+    token_lengths: jnp.ndarray,
+    sid: jnp.ndarray | None,
+    rng: jax.Array,
+    noise_scale: float = 0.667,
+    length_scale: float = 1.0,
+    noise_scale_w: float = 0.6,
+    sdp_ratio: float = 0.2,
+    max_frames: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Convenience two-stage TTS (host round-trip for the dynamic output
+    length, mirroring the natural split at models.py:479).  For production
+    batched serving use tts_encode/tts_decode with bucketing directly."""
+    rng_w, rng_y = jax.random.split(rng)
+    enc = tts_encode_jit(
+        params, cfg, tokens, token_lengths, sid, rng_w,
+        noise_scale_w=noise_scale_w, length_scale=length_scale, sdp_ratio=sdp_ratio,
+    )
+    if max_frames is None:
+        total = int(jnp.max(jnp.sum(enc.w_ceil, axis=-1)))
+        from openvoice_tpu.runtime.bucketing import round_up_to_bucket
+
+        max_frames = round_up_to_bucket(max(total, 1))
+    noise = jax.random.normal(rng_y, (tokens.shape[0], max_frames, cfg.inter_channels))
+    audio, y_mask = tts_decode_jit(params, cfg, enc, max_frames, noise, noise_scale=noise_scale)
+    y_lengths = np.asarray(jnp.sum(y_mask[..., 0], axis=-1)).astype(np.int64)
+    return np.asarray(audio[..., 0]), y_lengths * cfg.upsample_factor

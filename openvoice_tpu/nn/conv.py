@@ -1,0 +1,123 @@
+"""Convolution primitives in TPU-friendly [B, T, C] layout.
+
+Semantics match torch's Conv1d / ConvTranspose1d / Conv2d so imported
+checkpoints reproduce the reference numerics, but the layout is
+channels-last: time on sublanes, channels on lanes, which is what XLA:TPU
+tiles best.  Kernels are stored [K, C_in, C_out] ("HIO").
+
+Transposed conv is expressed as input-dilated regular conv (lhs_dilation),
+which XLA lowers to an MXU-tiled implicit-GEMM — no scatter, no host loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMS_1D = ("NHC", "HIO", "NHC")
+_DIMS_2D = ("NHWC", "HWIO", "NHWC")
+
+# f32 accumulation on the MXU; bit-parity tests rely on this default.
+_PREC = lax.Precision.HIGHEST
+
+
+def conv1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+    precision=_PREC,
+) -> jnp.ndarray:
+    """x: [B, T, Cin], w: [K, Cin/groups, Cout] → [B, T', Cout]."""
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DIMS_1D,
+        feature_group_count=groups,
+        precision=precision,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_transpose1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    *,
+    stride: int,
+    padding: int = 0,
+    precision=_PREC,
+) -> jnp.ndarray:
+    """Torch-semantics ConvTranspose1d.
+
+    x: [B, T, Cin]; w is stored pre-converted as [K, Cin, Cout] with the
+    kernel axis already flipped (see ckpt/torch_import.py), so here it is a
+    plain conv over the stride-dilated input:
+    out[t] = sum_k x_dilated[t + k - (K-1-p)] · w[k].
+    Output length = (T-1)·stride + K - 2·padding (torch formula).
+    """
+    k = w.shape[0]
+    pad = k - 1 - padding
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=_DIMS_1D,
+        precision=precision,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    *,
+    stride: tuple[int, int] = (1, 1),
+    padding: tuple[int, int] = (0, 0),
+    precision=_PREC,
+) -> jnp.ndarray:
+    """x: [B, H, W, Cin], w: [KH, KW, Cin, Cout] → [B, H', W', Cout]."""
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=_DIMS_2D,
+        precision=precision,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None, precision=_PREC) -> jnp.ndarray:
+    """x: [..., Cin], w: [Cin, Cout]."""
+    y = jnp.dot(x, w, precision=precision, preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def layer_norm(
+    x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-5
+) -> jnp.ndarray:
+    """LayerNorm over the last (channel) axis — the reference's channel-first
+    LayerNorm (modules.py:17-29) becomes a plain last-axis norm in [B,T,C]."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * lax.rsqrt(var + eps) * gamma + beta

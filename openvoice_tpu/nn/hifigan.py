@@ -1,0 +1,127 @@
+"""HiFi-GAN generator (reference: models.py:224-298, modules.py:221-360).
+
+The FLOP-dominant stage: operates at audio rate after the transposed-conv
+upsamples (8·8·2·2 = 256×).  TPU design:
+
+* [B, T, C] layout → every conv is an MXU implicit-GEMM; leaky-relu epilogues
+  fuse into the convs.
+* ConvTranspose1d is expressed as lhs-dilated conv (see nn/conv.py) — XLA
+  turns the stride-u dilation + kernel into interleaved phase matmuls; no
+  scatter.
+* The multi-receptive-field (MRF) fusion is the arithmetic mean of
+  `num_kernels` ResBlocks (models.py:280-286); all branches read the same
+  activation, so XLA schedules them over resident VMEM tiles.
+
+All static structure (kernel sizes, dilations, strides) comes from the
+function arguments / config — param pytrees hold arrays only.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from openvoice_tpu.nn.conv import conv1d, conv_transpose1d
+
+LRELU_SLOPE = 0.1
+
+
+def _lrelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.leaky_relu(x, LRELU_SLOPE)
+
+
+def apply_resblock1(
+    params: dict,
+    x: jnp.ndarray,
+    dilations: Sequence[int],
+    x_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """3× (lrelu → dilated conv → lrelu → conv) with residual (modules.py:221-309)."""
+    for c1, c2, d in zip(params["convs1"], params["convs2"], dilations):
+        xt = _lrelu(x)
+        if x_mask is not None:
+            xt = xt * x_mask
+        k = c1["w"].shape[0]
+        xt = conv1d(xt, c1["w"], c1["b"], padding=(k * d - d) // 2, dilation=d)
+        xt = _lrelu(xt)
+        if x_mask is not None:
+            xt = xt * x_mask
+        k2 = c2["w"].shape[0]
+        xt = conv1d(xt, c2["w"], c2["b"], padding=(k2 - 1) // 2)
+        x = xt + x
+    if x_mask is not None:
+        x = x * x_mask
+    return x
+
+
+def apply_resblock2(
+    params: dict,
+    x: jnp.ndarray,
+    dilations: Sequence[int],
+    x_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """2× (lrelu → dilated conv) with residual (modules.py:318-356)."""
+    for c, d in zip(params["convs"], dilations):
+        xt = _lrelu(x)
+        if x_mask is not None:
+            xt = xt * x_mask
+        k = c["w"].shape[0]
+        xt = conv1d(xt, c["w"], c["b"], padding=(k * d - d) // 2, dilation=d)
+        x = xt + x
+    if x_mask is not None:
+        x = x * x_mask
+    return x
+
+
+def apply_generator(
+    params: dict,
+    x: jnp.ndarray,
+    *,
+    resblock_kind: str,
+    resblock_dilation_sizes: Sequence[Sequence[int]],
+    upsample_rates: Sequence[int],
+    upsample_kernel_sizes: Sequence[int],
+    g: jnp.ndarray | None = None,
+    x_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """x: [B, T, inter_channels] latent → [B, T·prod(upsample_rates), 1] audio.
+
+    Mirrors Generator.forward (models.py:272-291): conv_pre → optional speaker
+    cond add → per stage [lrelu → transposed-conv upsample → MRF mean] →
+    lrelu(0.01) → conv_post → tanh.
+
+    `x_mask` ([B, T, 1]) makes bucket-padded decoding *exact*: the reference
+    always decodes at the true length, where every conv sees implicit zero
+    padding past the boundary; re-zeroing masked positions after each conv
+    (conv biases break zero-propagation) reproduces the boundary semantics
+    bit-for-bit on padded inputs.
+    """
+    x = conv1d(x, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
+    if g is not None and params.get("cond") is not None:
+        x = x + conv1d(g, params["cond"]["w"], params["cond"]["b"])
+    if x_mask is not None:
+        x = x * x_mask
+
+    resblock_fn = apply_resblock1 if resblock_kind == "1" else apply_resblock2
+    num_kernels = len(resblock_dilation_sizes)
+    for i, (u, k_up) in enumerate(zip(upsample_rates, upsample_kernel_sizes)):
+        x = _lrelu(x)
+        up = params["ups"][i]
+        x = conv_transpose1d(x, up["w"], up["b"], stride=u, padding=(k_up - u) // 2)
+        if x_mask is not None:
+            x_mask = jnp.repeat(x_mask, u, axis=1)
+            x = x * x_mask
+        acc = None
+        for j in range(num_kernels):
+            y = resblock_fn(
+                params["resblocks"][i * num_kernels + j], x, resblock_dilation_sizes[j], x_mask
+            )
+            acc = y if acc is None else acc + y
+        x = acc / num_kernels
+    # final activation uses torch's default slope 0.01, not LRELU_SLOPE
+    # (models.py:287 calls F.leaky_relu with no slope argument)
+    x = jax.nn.leaky_relu(x, 0.01)
+    x = conv1d(x, params["conv_post"]["w"], None, padding=3)
+    return jnp.tanh(x)

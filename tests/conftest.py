@@ -16,6 +16,17 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# persistent compilation cache: first full run pays the XLA compiles, reruns
+# are seconds
+import jax  # noqa: E402
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; force via config so
+# tests run on the deterministic CPU backend with 8 virtual devices
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 # The upstream reference (read-only, torch) is used as a numerical oracle in
 # parity tests.  We import it — we never copy it.
 REFERENCE_ROOT = "/root/reference"

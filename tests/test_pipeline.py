@@ -1,0 +1,73 @@
+"""Pipeline tests: watermark roundtrip, energy VAD, SE cache, sentence concat."""
+
+import numpy as np
+
+from openvoice_tpu.pipeline import watermark as wm
+from openvoice_tpu.pipeline.se_extractor import energy_vad, split_audio_vad
+from openvoice_tpu.utils import bits_to_string, string_to_bits
+
+
+def test_string_bits_roundtrip():
+    bits = string_to_bits("@MyShell")
+    assert bits.shape == (8, 8)
+    assert bits_to_string(bits) == "@MyShell"
+
+
+def test_string_bits_padding_marker():
+    bits = string_to_bits("ab")
+    # unused rows carry the column-2 marker (utils.py:59)
+    assert (bits[2:, 2] == 1).all()
+
+
+def test_watermark_roundtrip():
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000 * 16) * 0.1).astype(np.float32)
+    marked = wm.add_watermark(audio, "@MyShell")
+    assert marked.shape == audio.shape
+    # inaudible: tiny distortion
+    assert np.abs(marked - audio).max() < 0.01
+    assert wm.detect_watermark(marked, 2) == "@MyShell"
+
+
+def test_watermark_survives_pcm16():
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(16000 * 16) * 0.1).astype(np.float32)
+    marked = wm.add_watermark(audio, "test1234")
+    quantized = np.round(marked * 32767.0) / 32767.0
+    assert wm.detect_watermark(quantized.astype(np.float32), 2) == "test1234"
+
+
+def test_watermark_short_audio():
+    audio = np.zeros(1000, np.float32)
+    out = wm.add_watermark(audio, "msg")
+    np.testing.assert_array_equal(out, audio)
+    assert wm.detect_watermark(audio, 8) == "Fail"
+
+
+def test_energy_vad_finds_speech():
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = 0.3 * np.sin(2 * np.pi * 220 * t)
+    audio = np.concatenate([np.zeros(2 * sr), tone, np.zeros(2 * sr)]).astype(np.float32)
+    segs = energy_vad(audio, sr)
+    assert len(segs) == 1
+    s, e = segs[0]
+    assert abs(s - 2 * sr) < sr * 0.2
+    assert abs(e - 3 * sr) < sr * 0.2
+
+
+def test_split_audio_vad_uniform():
+    sr = 16000
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(25 * sr) * 0.2).astype(np.float32)
+    chunks = split_audio_vad(audio, sr, split_seconds=10.0)
+    assert 2 <= len(chunks) <= 3
+    total = sum(len(c) for c in chunks)
+    assert total >= 24 * sr  # noise is "speech" throughout
+
+
+def test_split_audio_vad_too_short():
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_audio_vad(np.zeros(1000, np.float32), 16000)
