@@ -119,6 +119,16 @@ class SynthesizerConfig:
     win_length: int = 1024
     add_blank: bool = True
 
+    def __post_init__(self) -> None:
+        if len(self.resblock_kernel_sizes) != len(self.resblock_dilation_sizes):
+            raise ValueError(
+                "resblock_kernel_sizes and resblock_dilation_sizes must have "
+                f"equal length, got {len(self.resblock_kernel_sizes)} vs "
+                f"{len(self.resblock_dilation_sizes)}"
+            )
+        if len(self.upsample_rates) != len(self.upsample_kernel_sizes):
+            raise ValueError("upsample_rates and upsample_kernel_sizes length mismatch")
+
     @property
     def upsample_factor(self) -> int:
         f = 1

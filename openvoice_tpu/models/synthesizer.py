@@ -449,8 +449,8 @@ def tts_decode(
     attn_mask = y_mask * jnp.swapaxes(enc.x_mask, 1, 2)  # [B, T_y, T_x]
     attn = generate_path(enc.w_ceil, attn_mask)  # [B, T_y, T_x]
 
-    m_p = jnp.einsum("byt,btc->byc", attn, enc.m_p, precision=jax.lax.Precision.HIGHEST)
-    logs_p = jnp.einsum("byt,btc->byc", attn, enc.logs_p, precision=jax.lax.Precision.HIGHEST)
+    m_p = jnp.einsum("byt,btc->byc", attn, enc.m_p, precision=None)
+    logs_p = jnp.einsum("byt,btc->byc", attn, enc.logs_p, precision=None)
 
     z_p = m_p + noise * jnp.exp(logs_p) * noise_scale
     z = apply_coupling_block(params["flow"], z_p, y_mask, g=enc.g, reverse=True)

@@ -62,12 +62,12 @@ def multi_head_attention(
     q, k, v = split(q, t), split(k, s), split(v, s)
 
     scale = 1.0 / math.sqrt(dk)
-    scores = jnp.einsum("bhtd,bhsd->bhts", q * scale, k, precision=jax.lax.Precision.HIGHEST)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q * scale, k, precision=None)
 
     if window_size is not None:
         assert t == s, "relative attention requires self-attention"
         emb_k = params["emb_rel_k"]  # [2w+1, dk] (heads shared)
-        q_rel = jnp.einsum("bhtd,rd->bhtr", q * scale, emb_k, precision=jax.lax.Precision.HIGHEST)
+        q_rel = jnp.einsum("bhtd,rd->bhtr", q * scale, emb_k, precision=None)
         idx, valid = _rel_to_abs_indices(t, window_size)
         gathered = jnp.take_along_axis(
             q_rel[:, :, :, :], jnp.asarray(idx)[None, None, :, :], axis=-1
@@ -78,7 +78,7 @@ def multi_head_attention(
         scores = jnp.where(attn_mask == 0, -1e4, scores)
 
     p = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhts,bhsd->bhtd", p, v, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bhts,bhsd->bhtd", p, v, precision=None)
 
     if window_size is not None:
         emb_v = params["emb_rel_v"]  # [2w+1, dk]
@@ -89,7 +89,7 @@ def multi_head_attention(
         src_idx = np.clip(src, 0, t - 1).astype(np.int32)
         p_band = jnp.take_along_axis(p, jnp.asarray(src_idx)[None, None], axis=-1)
         p_band = jnp.where(jnp.asarray(band_valid)[None, None], p_band, 0.0)
-        out = out + jnp.einsum("bhtr,rd->bhtd", p_band, emb_v, precision=jax.lax.Precision.HIGHEST)
+        out = out + jnp.einsum("bhtr,rd->bhtd", p_band, emb_v, precision=None)
 
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, channels)
     return linear(out, params["o"]["w"], params["o"]["b"])

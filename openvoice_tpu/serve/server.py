@@ -1,0 +1,204 @@
+"""HTTP serving tier (the reference's Gradio app equivalent,
+openvoice_app.py — gradio is not in this image, so the demo UI is a small
+stdlib HTTP app with the same request semantics and guard rails).
+
+Endpoints:
+  POST /convert   {audio_b64 | audio_path, src_se?, tgt_ref_path?, tau?}
+  POST /tts       {text, speaker, language, speed}   (V1 base TTS loaded)
+  GET  /healthz   liveness
+  GET  /metrics   JSON metrics snapshot (latency, RTF, audio-seconds)
+
+Error handling mirrors the app's [ERROR] strings (openvoice_app.py:42-120)
+with structured codes; every request is isolated (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from openvoice_tpu.runtime.profiler import METRICS
+
+
+class VoiceService:
+    """Bundles converter (+ optional TTS) behind the batcher."""
+
+    def __init__(self, converter, tts_model=None, max_batch: int = 8):
+        from openvoice_tpu.serve.batcher import ConvertBatcher
+
+        self.converter = converter
+        self.tts_model = tts_model
+        self.batcher = ConvertBatcher(converter._require_params(), converter.cfg, max_batch=max_batch)
+        self.batcher.start()
+
+    def close(self) -> None:
+        self.batcher.stop()
+
+    # ------------------------------------------------------------------
+
+    def convert_audio(self, audio: np.ndarray, src_se, tgt_se, tau: float = 0.3, seed: int = 0) -> np.ndarray:
+        from openvoice_tpu.api import _spec_from_audio
+        from openvoice_tpu.api import _spec_btf
+        from openvoice_tpu.serve.batcher import ConvertRequest
+        import jax.numpy as jnp
+
+        cfg = self.converter.cfg
+        padded, n_frames = _spec_from_audio(audio, cfg)
+        spec = np.asarray(
+            _spec_btf(jnp.asarray(padded)[None], cfg.filter_length, cfg.hop_length, cfg.win_length)
+        )[0, :n_frames]
+        req = ConvertRequest(
+            spec=spec,
+            n_frames=n_frames,
+            g_src=np.asarray(src_se, np.float32).reshape(-1),
+            g_tgt=np.asarray(tgt_se, np.float32).reshape(-1),
+            tau=tau,
+            seed=seed,
+        )
+        fut = self.batcher.submit(req)
+        out = fut.result(timeout=120)
+        if self.converter.enable_watermark:
+            out = self.converter.add_watermark(out, "default")
+        return out
+
+
+def _guard_text(text: str) -> str | None:
+    """Length guards matching the served demo (openvoice_app.py:97-114)."""
+    if len(text) < 2:
+        return "[ERROR] Please give a longer prompt text"
+    if len(text) > 200:
+        return (
+            "[ERROR] Text length limited to 200 characters for this demo; "
+            "please try shorter text"
+        )
+    return None
+
+
+def make_handler(service: VoiceService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                self._json(200, METRICS.snapshot())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                self._json(400, {"error": "[ERROR] invalid JSON body"})
+                return
+
+            try:
+                if self.path == "/convert":
+                    self._convert(req)
+                elif self.path == "/tts":
+                    self._tts(req)
+                else:
+                    self._json(404, {"error": "not found"})
+            except Exception as exc:  # noqa: BLE001 — per-request isolation
+                METRICS.add("request_failures")
+                self._json(500, {"error": f"[ERROR] {exc}"})
+
+        def _load_request_audio(self, req) -> np.ndarray:
+            from openvoice_tpu.audio.io import load_audio
+
+            sr = service.converter.cfg.sampling_rate
+            if "audio_b64" in req:
+                from openvoice_tpu.audio.io import read_wav
+                import struct  # noqa: F401
+
+                raw = base64.b64decode(req["audio_b64"])
+                tmp = io.BytesIO(raw)
+                import tempfile, os
+
+                with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+                    f.write(tmp.read())
+                    path = f.name
+                try:
+                    audio, _ = load_audio(path, sr=sr)
+                finally:
+                    os.unlink(path)
+                return audio
+            if "audio_path" in req:
+                audio, _ = load_audio(req["audio_path"], sr=sr)
+                return audio
+            raise ValueError("missing audio_b64 or audio_path")
+
+        def _convert(self, req) -> None:
+            audio = self._load_request_audio(req)
+            if "src_se" in req:
+                src_se = np.asarray(req["src_se"], np.float32)
+            else:
+                src_se = service.converter._se_from_audio_batch([audio])
+            if "tgt_se" in req:
+                tgt_se = np.asarray(req["tgt_se"], np.float32)
+            elif "tgt_ref_path" in req:
+                tgt_se = np.asarray(
+                    service.converter.extract_se_from_file(req["tgt_ref_path"])
+                ).reshape(-1)
+            else:
+                raise ValueError("missing tgt_se or tgt_ref_path")
+            out = service.convert_audio(
+                audio, src_se, tgt_se, tau=float(req.get("tau", 0.3)),
+                seed=int(req.get("seed", 0)),
+            )
+            self._json(
+                200,
+                {
+                    "sample_rate": service.converter.cfg.sampling_rate,
+                    "audio_b64": base64.b64encode(out.astype(np.float32).tobytes()).decode(),
+                    "num_samples": int(out.shape[0]),
+                },
+            )
+
+        def _tts(self, req) -> None:
+            if service.tts_model is None:
+                raise ValueError("no base TTS model loaded")
+            text = req.get("text", "")
+            err = _guard_text(text)
+            if err:
+                self._json(400, {"error": err})
+                return
+            audio = service.tts_model.tts(
+                text, None, req.get("speaker", "default"),
+                language=req.get("language", "English"),
+                speed=float(req.get("speed", 1.0)),
+            )
+            self._json(
+                200,
+                {
+                    "sample_rate": service.tts_model.cfg.sampling_rate,
+                    "audio_b64": base64.b64encode(audio.astype(np.float32).tobytes()).decode(),
+                    "num_samples": int(audio.shape[0]),
+                },
+            )
+
+    return Handler
+
+
+def serve(service: VoiceService, host: str = "127.0.0.1", port: int = 7860) -> ThreadingHTTPServer:
+    """Start the HTTP server in a background thread; returns the server."""
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd

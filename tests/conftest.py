@@ -39,3 +39,7 @@ def has_reference() -> bool:
 def add_reference_to_path() -> None:
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+
+
+# numerical parity vs the torch oracle requires full f32 matmuls
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,74 @@
+"""Serving tier tests: batcher grouping, failure isolation, HTTP endpoints."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from openvoice_tpu.config import SynthesizerConfig
+from openvoice_tpu.models import synthesizer as S
+from openvoice_tpu.serve.batcher import ConvertBatcher, ConvertRequest
+
+TINY = SynthesizerConfig(
+    n_speakers=0, zero_g=True,
+    spec_channels=129, filter_length=256, hop_length=64, win_length=256,
+    inter_channels=64, hidden_channels=64,
+    upsample_initial_channel=128, upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+    resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+    gin_channels=64,
+)
+
+
+@pytest.fixture(scope="module")
+def batcher():
+    params = S.init_synthesizer(jax.random.PRNGKey(0), TINY)
+    b = ConvertBatcher(params, TINY, max_batch=4, max_wait_ms=20)
+    b.start()
+    yield b
+    b.stop()
+
+
+def _req(n_frames, seed=0):
+    rng = np.random.default_rng(seed)
+    return ConvertRequest(
+        spec=np.abs(rng.standard_normal((n_frames, TINY.spec_channels))).astype(np.float32),
+        n_frames=n_frames,
+        g_src=rng.standard_normal(TINY.gin_channels).astype(np.float32),
+        g_tgt=rng.standard_normal(TINY.gin_channels).astype(np.float32),
+        tau=0.0,
+        seed=seed,
+    )
+
+
+def test_batcher_single(batcher):
+    fut = batcher.submit(_req(50))
+    audio = fut.result(timeout=300)
+    assert audio.shape == (50 * TINY.upsample_factor,)
+    assert np.isfinite(audio).all()
+
+
+def test_batcher_groups_and_batches(batcher):
+    futs = [batcher.submit(_req(40 + i, seed=i)) for i in range(8)]
+    outs = [f.result(timeout=300) for f in futs]
+    for i, out in enumerate(outs):
+        assert out.shape == ((40 + i) * TINY.upsample_factor,)
+
+
+def test_batcher_result_independent_of_batchmates(batcher):
+    """A request's audio must not depend on what it was batched with."""
+    solo = batcher.submit(_req(48, seed=7)).result(timeout=300)
+    futs = [batcher.submit(_req(48, seed=s)) for s in (7, 8, 9, 10)]
+    batched = futs[0].result(timeout=300)
+    np.testing.assert_allclose(solo, batched, atol=2e-5)
+
+
+def test_metrics_flow(batcher):
+    from openvoice_tpu.runtime.profiler import METRICS
+
+    snap = METRICS.snapshot()
+    assert snap["counters"].get("audio_seconds", 0) > 0
+    assert "request_latency" in snap["latency"]
