@@ -355,6 +355,23 @@ def voice_conversion(
     """
     t = spec.shape[1]
     y_mask = sequence_mask(spec_lengths, t)[..., None].astype(spec.dtype)
+    audio = voice_conversion_masked(params, cfg, spec, y_mask, g_src, g_tgt, tau, noise)
+    return audio, y_mask
+
+
+def voice_conversion_masked(
+    params: dict,
+    cfg: SynthesizerConfig,
+    spec: jnp.ndarray,
+    y_mask: jnp.ndarray,
+    g_src: jnp.ndarray,
+    g_tgt: jnp.ndarray,
+    tau: float | jnp.ndarray,
+    noise: jnp.ndarray,
+) -> jnp.ndarray:
+    """Conversion body with an explicit frame mask [B, T, 1] — shared by the
+    single-device path and the sequence-parallel path (which builds its mask
+    from global frame indices inside each shard)."""
     g_enc = jnp.zeros_like(g_src) if cfg.zero_g else g_src
     g_dec = jnp.zeros_like(g_tgt) if cfg.zero_g else g_tgt
 
@@ -371,7 +388,7 @@ def voice_conversion(
         g=g_dec,
         x_mask=y_mask,
     )
-    return audio, y_mask
+    return audio
 
 
 class TTSEncodeOut(NamedTuple):
