@@ -44,9 +44,17 @@ def _spec_from_audio(audio: np.ndarray, cfg: SynthesizerConfig) -> tuple[np.ndar
 
 
 def _use_pallas_stft(n_fft: int, hop: int) -> bool:
-    """Pallas STFT on real TPU (1.8× the XLA path on v5e); XLA elsewhere."""
+    """Pallas STFT on real TPU (1.8× the XLA path on v5e); XLA elsewhere.
+
+    The kernel views audio as [B, chunks, hop] in HBM, so `hop` must be a
+    multiple of the 128-lane tile (true for every shipped config, hop=256;
+    small test configs fall back to the XLA matmul path)."""
     try:
-        return jax.default_backend() == "tpu" and n_fft % hop == 0
+        return (
+            jax.default_backend() == "tpu"
+            and n_fft % hop == 0
+            and hop % 128 == 0
+        )
     except RuntimeError:
         return False
 
@@ -134,12 +142,25 @@ class ToneColorConverter(OpenVoiceBaseClass):
         return out
 
     def extract_se_from_file(self, audio_path: str, vad: bool = True) -> np.ndarray:
-        """VAD-segment a reference recording, batch segments through ref_enc,
-        mean → [1, gin, 1] (the get_se fast path)."""
+        """Segment a reference recording, batch segments through ref_enc,
+        mean → [1, gin, 1] (the get_se fast path).
+
+        vad=True: energy-VAD splitter (the served default, matching
+        openvoice_app.py:118).  vad=False: whisper-mode segmentation
+        (se_extractor.py:19-74) when cached ASR weights exist, else the
+        whole file as one segment (the reference would fail here; degrading
+        keeps offline images working)."""
         from openvoice_tpu.pipeline.se_extractor import split_audio_vad
+        from openvoice_tpu.pipeline.whisper_seg import make_segmenter, split_audio_whisper
 
         audio, sr = load_audio(audio_path, sr=self.cfg.sampling_rate)
-        segments = split_audio_vad(audio, sr) if vad else [audio]
+        if vad:
+            segments = split_audio_vad(audio, sr)
+        else:
+            seg = make_segmenter(prefer_whisper=True)
+            segments = split_audio_whisper(audio, sr, seg) if seg else [audio]
+            if not segments:
+                segments = [audio]
         se = self._se_from_audio_batch(segments)
         return se[None, :, None].astype(np.float32)
 

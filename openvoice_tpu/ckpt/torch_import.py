@@ -302,22 +302,7 @@ def load_torch_checkpoint(ckpt_path: str, cfg: SynthesizerConfig) -> tuple[dict,
     return import_synthesizer(sd, cfg)
 
 
-def save_params_npz(path: str, params: dict) -> None:
-    """Flatten the pytree to an .npz (portable, no torch needed to reload)."""
-    flat = {}
-
-    def walk(t, prefix):
-        if isinstance(t, dict):
-            for k, v in t.items():
-                walk(v, f"{prefix}.{k}" if prefix else k)
-        elif isinstance(t, list):
-            for i, v in enumerate(t):
-                walk(v, f"{prefix}.{i}")
-        elif t is not None:
-            flat[prefix] = np.asarray(t)
-
-    walk(params, "")
-    np.savez(path, **flat)
+# Native save/load (npz + orbax) lives in ckpt/native_io.py.
 
 
 def load_params_npz(path: str) -> dict:

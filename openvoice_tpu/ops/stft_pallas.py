@@ -86,6 +86,10 @@ def stft_magnitude_pallas(
     that are sliced off.
     """
     assert n_fft % hop == 0, "pallas STFT requires hop | n_fft"
+    assert interpret or hop % 128 == 0, (
+        "pallas STFT requires lane-aligned hop (multiple of 128) for the "
+        "HBM chunk view; use the XLA matmul path for smaller hops"
+    )
     b, length = padded_audio.shape
     n_freq = n_fft // 2 + 1
     ratio = n_fft // hop
