@@ -309,7 +309,14 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
 
             symbols = default_symbols
             cleaners = ["cjke_cleaners2"]
-            speaker_id = int(speaker) if not isinstance(speaker, int) else speaker
+            # no speakers map without an imported config: numeric ids pass
+            # through, names (e.g. "default") fall back to id 0
+            if isinstance(speaker, int):
+                speaker_id = speaker
+            elif str(speaker).lstrip("-").isdigit():
+                speaker_id = int(speaker)
+            else:
+                speaker_id = 0
 
         texts = split_sentence(text, language_str=mark)
         pieces = []

@@ -91,13 +91,10 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     return x, sr
 
 
-def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "pcm16") -> None:
-    """Write mono/stereo float audio as WAV (default PCM16, soundfile's default)."""
+def encode_wav_bytes(audio: np.ndarray, sr: int, subtype: str = "pcm16") -> bytes:
+    """Mono/stereo float audio → complete WAV file bytes."""
     audio = np.asarray(audio)
-    if audio.ndim == 1:
-        n_ch = 1
-    else:
-        n_ch = audio.shape[1]
+    n_ch = 1 if audio.ndim == 1 else audio.shape[1]
     if subtype == "pcm16":
         clipped = np.clip(audio, -1.0, 1.0)
         payload = np.round(clipped * 32767.0).astype("<i2").tobytes()
@@ -112,11 +109,16 @@ def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "pcm16") -> 
     hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
     hdr += b"fmt " + struct.pack("<IHHIIHH", 16, wformat, n_ch, sr, byte_rate, block_align, bits)
     hdr += b"data" + struct.pack("<I", len(payload))
+    return hdr + payload
+
+
+def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "pcm16") -> None:
+    """Write mono/stereo float audio as WAV (default PCM16, soundfile's default)."""
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
     with open(path, "wb") as f:
-        f.write(hdr + payload)
+        f.write(encode_wav_bytes(audio, sr, subtype))
 
 
 # soundfile.write equivalent used by the reference (api.py:98,160)

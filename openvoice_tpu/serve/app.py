@@ -1,0 +1,190 @@
+"""Demo web app (reference: openvoice_app.py — Gradio; this image has no
+gradio, so the same predict() semantics ship behind a stdlib HTTP UI).
+
+Parity surface:
+* `predict(prompt, style, audio_file_pth, agree)` with the reference's guard
+  ladder and `[ERROR]` strings (openvoice_app.py:37-141): terms check,
+  language detection + routing (EN/ZH models + source SEs), per-language
+  style validation (EN: 9 styles; ZH: default only), 2-200 char limit,
+  get_se → tts → convert with watermark message '@MyShell'.
+* Language detection: the reference uses langid (openvoice_app.py:51);
+  langid isn't in this image, and the app only routes EN vs ZH, so a
+  han-script heuristic covers the supported set (anything else is rejected
+  exactly like the reference rejects unsupported langid results).
+* GET / serves a minimal HTML form; POST /predict takes JSON.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+EN_STYLES = (
+    "default", "whispering", "shouting", "excited", "cheerful",
+    "terrified", "angry", "sad", "friendly",
+)
+ZH_STYLES = ("default",)
+SUPPORTED_LANGUAGES = ("zh", "en")
+
+
+def detect_language(text: str) -> str:
+    """'zh' when the text contains Han characters, else 'en' (the app's
+    supported routing set, openvoice_app.py:16,51-56)."""
+    for ch in text:
+        if "一" <= ch <= "鿿" or "㐀" <= ch <= "䶿":
+            return "zh"
+    return "en"
+
+
+@dataclass
+class PredictResult:
+    info: str
+    audio: np.ndarray | None
+    sample_rate: int | None
+
+
+class VoiceApp:
+    """Reference predict() pipeline over loaded models.
+
+    en_tts/zh_tts: BaseSpeakerTTS or None; converter: ToneColorConverter;
+    source_ses: {"en_default": se, "en_style": se, "zh_default": se}.
+    """
+
+    def __init__(self, converter, en_tts=None, zh_tts=None, source_ses=None,
+                 watermark_message: str = "@MyShell"):
+        self.converter = converter
+        self.en_tts = en_tts
+        self.zh_tts = zh_tts
+        self.source_ses = source_ses or {}
+        self.watermark_message = watermark_message
+
+    def predict(self, prompt: str, style: str, audio_file_pth: str, agree: bool) -> PredictResult:
+        hint = ""
+        if not agree:
+            return PredictResult("[ERROR] Please accept the Terms & Condition!\n", None, None)
+
+        lang = detect_language(prompt)
+        if lang not in SUPPORTED_LANGUAGES:
+            return PredictResult(
+                f"[ERROR] The detected language {lang} for your input text is not in "
+                f"our Supported Languages: {list(SUPPORTED_LANGUAGES)}\n", None, None,
+            )
+
+        if lang == "zh":
+            tts_model, language = self.zh_tts, "Chinese"
+            source_se = self.source_ses.get("zh_default")
+            if style not in ZH_STYLES:
+                return PredictResult(
+                    f"[ERROR] The style {style} is not supported for Chinese, "
+                    f"which should be in {list(ZH_STYLES)}\n", None, None,
+                )
+        else:
+            tts_model, language = self.en_tts, "English"
+            source_se = self.source_ses.get(
+                "en_default" if style == "default" else "en_style"
+            )
+            if style not in EN_STYLES:
+                return PredictResult(
+                    f"[ERROR] The style {style} is not supported for English, "
+                    f"which should be in {list(EN_STYLES)}\n", None, None,
+                )
+
+        if tts_model is None:
+            return PredictResult(f"[ERROR] no base TTS model loaded for {language}\n", None, None)
+        if len(prompt) < 2:
+            return PredictResult("[ERROR] Please give a longer prompt text \n", None, None)
+        if len(prompt) > 200:
+            return PredictResult(
+                "[ERROR] Text length limited to 200 characters for this demo, "
+                "please try shorter text. You can clone our open-source repo "
+                "and try for your usage \n", None, None,
+            )
+
+        from openvoice_tpu.pipeline.se_extractor import get_se
+
+        try:
+            target_se, _ = get_se(audio_file_pth, self.converter, target_dir="processed", vad=True)
+        except Exception as e:  # noqa: BLE001 — reference catches broadly here
+            return PredictResult(f"[ERROR] Get target tone color error {e} \n", None, None)
+
+        audio = tts_model.tts(prompt, None, style, language=language)
+        sr = tts_model.cfg.sampling_rate
+        if source_se is None:
+            source_se = self.converter._se_from_audio_batch([audio])[None, :, None]
+        out = self.converter.convert(
+            audio, source_se, target_se, tau=0.3, message=self.watermark_message
+        )
+        return PredictResult(hint + "Get response successfully \n", out, sr)
+
+
+_PAGE = """<!doctype html><html><head><title>openvoice-tpu demo</title></head>
+<body><h2>Voice cloning demo</h2>
+<form onsubmit="go(event)">
+<p><textarea id=prompt rows=3 cols=60>Hello, this is a voice cloning demo.</textarea></p>
+<p>Style: <input id=style value=default> Reference audio path: <input id=ref size=40></p>
+<p><label><input type=checkbox id=agree> I accept the terms</label>
+<button>Synthesize</button></p></form>
+<p id=info></p><audio id=player controls></audio>
+<script>
+async function go(e){e.preventDefault();
+const r=await fetch('/predict',{method:'POST',headers:{'Content-Type':'application/json'},
+body:JSON.stringify({prompt:prompt.value,style:style.value,audio_file_pth:ref.value,agree:agree.checked})});
+const j=await r.json();info.textContent=j.info;
+if(j.wav_b64){player.src='data:audio/wav;base64,'+j.wav_b64;player.play();}}
+</script></body></html>"""
+
+
+def make_app_handler(app: VoiceApp):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            data = body if isinstance(body, bytes) else body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                self._send(200, _PAGE, "text/html")
+            else:
+                self._send(404, json.dumps({"error": "not found"}))
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, json.dumps({"error": "not found"}))
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                result = app.predict(
+                    req.get("prompt", ""), req.get("style", "default"),
+                    req.get("audio_file_pth", ""), bool(req.get("agree", False)),
+                )
+                payload = {"info": result.info}
+                if result.audio is not None:
+                    from openvoice_tpu.audio.io import encode_wav_bytes
+
+                    payload["wav_b64"] = base64.b64encode(
+                        encode_wav_bytes(result.audio, result.sample_rate)
+                    ).decode()
+                    payload["sample_rate"] = result.sample_rate
+                self._send(200, json.dumps(payload))
+            except Exception as exc:  # noqa: BLE001 — per-request isolation
+                self._send(500, json.dumps({"info": f"[ERROR] {exc}"}))
+
+    return Handler
+
+
+def serve_app(app: VoiceApp, host: str = "127.0.0.1", port: int = 7860) -> ThreadingHTTPServer:
+    httpd = ThreadingHTTPServer((host, port), make_app_handler(app))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd

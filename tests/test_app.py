@@ -1,0 +1,108 @@
+"""Web app tests: guard ladder parity with the reference predict()
+(openvoice_app.py:37-141), language routing, end-to-end synthesis path."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from openvoice_tpu.config import SynthesizerConfig
+from openvoice_tpu.serve.app import VoiceApp, detect_language, serve_app
+
+TINY_TTS = SynthesizerConfig(
+    n_vocab=100, n_speakers=4, zero_g=False,
+    spec_channels=129, filter_length=256, hop_length=64, win_length=256,
+    inter_channels=64, hidden_channels=64, filter_channels=128,
+    n_heads=2, n_layers=2,
+    upsample_initial_channel=128, upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    gin_channels=64, enc_q_layers=4, flow_n_flows=2, flow_wn_layers=2,
+)
+TINY_CONV = SynthesizerConfig(
+    n_speakers=0, zero_g=True,
+    spec_channels=129, filter_length=256, hop_length=64, win_length=256,
+    inter_channels=64, hidden_channels=64,
+    upsample_initial_channel=128, upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    gin_channels=64, enc_q_layers=4, flow_n_flows=2, flow_wn_layers=2,
+)
+
+
+def test_detect_language():
+    assert detect_language("hello world") == "en"
+    assert detect_language("你好世界") == "zh"
+    assert detect_language("mixed 文本 here") == "zh"
+
+
+@pytest.fixture(scope="module")
+def app(tmp_path_factory):
+    from openvoice_tpu.api import BaseSpeakerTTS, ToneColorConverter
+
+    tts = BaseSpeakerTTS(cfg=TINY_TTS)
+    tts.init_random()
+    conv = ToneColorConverter(cfg=TINY_CONV, enable_watermark=False)
+    conv.init_random()
+    return VoiceApp(conv, en_tts=tts)
+
+
+@pytest.fixture(scope="module")
+def ref_wav(tmp_path_factory):
+    from openvoice_tpu.audio.io import save_wav
+
+    sr = TINY_CONV.sampling_rate
+    t = np.arange(3 * sr) / sr
+    path = str(tmp_path_factory.mktemp("app") / "ref.wav")
+    save_wav(path, (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32), sr)
+    return path
+
+
+def test_guard_terms(app):
+    r = app.predict("hello there", "default", "x.wav", agree=False)
+    assert "Terms & Condition" in r.info and r.audio is None
+
+
+def test_guard_style(app):
+    r = app.predict("hello there", "bogus-style", "x.wav", agree=True)
+    assert "[ERROR] The style bogus-style is not supported" in r.info
+
+
+def test_guard_length(app):
+    r = app.predict("x", "default", "x.wav", agree=True)
+    assert "longer prompt" in r.info
+    r = app.predict("word " * 60, "default", "x.wav", agree=True)
+    assert "200 characters" in r.info
+
+
+def test_guard_se_extraction_failure(app):
+    r = app.predict("hello there", "default", "/nonexistent/file.wav", agree=True)
+    assert "[ERROR] Get target tone color error" in r.info
+
+
+def test_predict_end_to_end(app, ref_wav):
+    r = app.predict("hello there friend", "default", ref_wav, agree=True)
+    assert r.info.endswith("successfully \n"), r.info
+    assert r.audio is not None and r.audio.size > 0
+    assert np.isfinite(r.audio).all()
+    assert r.sample_rate == TINY_TTS.sampling_rate
+
+
+def test_http_roundtrip(app, ref_wav):
+    httpd = serve_app(app, port=0)
+    port = httpd.server_address[1]
+    try:
+        page = urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=10).read()
+        assert b"Voice cloning demo" in page
+        body = json.dumps({
+            "prompt": "hello there friend", "style": "default",
+            "audio_file_pth": ref_wav, "agree": True,
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        out = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        assert "wav_b64" in out, out
+        assert out["wav_b64"].startswith("UklGR")  # RIFF header in b64
+    finally:
+        httpd.shutdown()
