@@ -3,13 +3,19 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Metric: audio-seconds of converted speech generated per wall-clock second per
-chip, on the full-size V2 converter (BASELINE config 1 shape).  The baseline
-north star is ≥10× real-time (BASELINE.md), so vs_baseline = value / 10.
+Metric: audio-seconds of converted speech generated per wall-clock second
+per chip, full-size V2 converter (BASELINE config 1 shape), serving mode
+(bf16 HiFi-GAN decoder; the parity mode is full-f32 and ~1.7× slower e2e).
 
-Runs the complete convert graph (STFT → enc_q → flow fwd/rev → HiFi-GAN) as
-one jitted program per bucket, random weights (checkpoints are not bundled —
-kernel/runtime cost is weight-independent).
+Measurement protocol — honest under async/remote dispatch: iterations form
+a serial dependency chain (each step's noise input mixes in the previous
+audio output, so no pipelining/memoization can skip work), one device→host
+readback at the end forces completion, and per-iteration time is the SLOPE
+between a short and a long chain (subtracts dispatch/readback constants).
+`jax.block_until_ready` alone under-reports through remote-dispatch
+tunnels; a naive loop here measured 200× faster than physics allows.
+
+The north star is ≥10× real-time (BASELINE.md) → vs_baseline = value / 10.
 """
 
 from __future__ import annotations
@@ -33,24 +39,33 @@ def main() -> None:
     t_frames = 896
     batch = 1
     rng = np.random.default_rng(0)
-    spec = jnp.asarray(np.abs(rng.standard_normal((batch, t_frames, cfg.spec_channels))).astype(np.float32))
+    spec = jnp.asarray(
+        np.abs(rng.standard_normal((batch, t_frames, cfg.spec_channels))).astype(np.float32)
+    )
     lengths = jnp.asarray([t_frames] * batch, jnp.int32)
     g_src = jnp.asarray(rng.standard_normal((batch, 1, cfg.gin_channels)).astype(np.float32))
     g_tgt = jnp.asarray(rng.standard_normal((batch, 1, cfg.gin_channels)).astype(np.float32))
-    noise = jnp.asarray(rng.standard_normal((batch, t_frames, cfg.inter_channels)).astype(np.float32))
+    noise = jnp.asarray(
+        rng.standard_normal((batch, t_frames, cfg.inter_channels)).astype(np.float32)
+    )
 
-    convert = jax.jit(S.voice_conversion, static_argnames=("cfg",))
+    convert = jax.jit(S.voice_conversion, static_argnames=("cfg", "fast"))
 
-    # warmup / compile
-    audio, _ = convert(params, cfg, spec, lengths, g_src, g_tgt, 0.3, noise)
-    jax.block_until_ready(audio)
+    def chain(k: int) -> float:
+        """k serially-dependent converts, one final readback; returns seconds."""
+        n = noise
+        t0 = time.perf_counter()
+        for _ in range(k):
+            audio, _ = convert(params, cfg, spec, lengths, g_src, g_tgt, 0.3, n, fast=True)
+            n = noise + 1e-9 * jnp.mean(audio)
+        float(jnp.sum(n))  # host readback: forces the whole chain to finish
+        return time.perf_counter() - t0
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        audio, _ = convert(params, cfg, spec, lengths, g_src, g_tgt, 0.3, noise)
-    jax.block_until_ready(audio)
-    dt = (time.perf_counter() - t0) / iters
+    chain(2)  # warm up compiles (convert graph + chain glue)
+    short, long_ = 4, 16
+    t_short = chain(short)
+    t_long = chain(long_)
+    dt = max((t_long - t_short) / (long_ - short), 1e-9)
 
     audio_seconds = batch * t_frames * cfg.hop_length / cfg.sampling_rate
     value = audio_seconds / dt

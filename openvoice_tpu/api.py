@@ -195,11 +195,13 @@ class ToneColorConverter(OpenVoiceBaseClass):
         tau: float = 0.3,
         message: str = "default",
         seed: int = 0,
+        fast: bool = False,
     ):
         """Reference-compatible convert (api.py:141-160).
 
         `audio_src_path` may be a path or a float waveform at sampling_rate.
         src/tgt SE accept [1, gin, 1] (reference layout) or [gin].
+        fast=True decodes in bfloat16 (serving mode, ~1.7× end-to-end).
         """
         cfg = self.cfg
         params = self._require_params()
@@ -221,7 +223,7 @@ class ToneColorConverter(OpenVoiceBaseClass):
         )
         out = _jit_convert(
             params, cfg, jnp.asarray(buf)[None], jnp.asarray([n_frames]),
-            g_src, g_tgt, float(tau), noise,
+            g_src, g_tgt, float(tau), noise, fast=fast,
         )
         audio_out = np.asarray(out)[0, : n_frames * cfg.upsample_factor, 0]
         if self.enable_watermark and message:
@@ -253,12 +255,14 @@ class ToneColorConverter(OpenVoiceBaseClass):
 _jit_tone_color = jax.jit(S.extract_tone_color)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _jit_convert(params, cfg, padded_audio, spec_lengths, g_src, g_tgt, tau, noise):
+@partial(jax.jit, static_argnames=("cfg", "fast"))
+def _jit_convert(params, cfg, padded_audio, spec_lengths, g_src, g_tgt, tau, noise, fast=False):
     """The whole convert path — STFT → enc_q → flows → decoder — as ONE
-    compiled graph per bucket (SURVEY.md §7.1)."""
+    compiled graph per bucket (SURVEY.md §7.1).  fast=True: bf16 decoder."""
     spec = _spec_inner(padded_audio, cfg)
-    audio, _ = S.voice_conversion(params, cfg, spec, spec_lengths, g_src, g_tgt, tau, noise)
+    audio, _ = S.voice_conversion(
+        params, cfg, spec, spec_lengths, g_src, g_tgt, tau, noise, fast=fast
+    )
     return audio
 
 

@@ -50,9 +50,11 @@ class ConvertBatcher:
         cfg: SynthesizerConfig,
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
+        fast: bool = False,
     ) -> None:
         self.params = params
         self.cfg = cfg
+        self.fast = fast
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._q: queue.Queue[ConvertRequest | None] = queue.Queue()
@@ -135,7 +137,7 @@ class ConvertBatcher:
                 audio, _ = S.voice_conversion_jit(
                     self.params, cfg, jnp.asarray(spec), jnp.asarray(lengths),
                     jnp.asarray(g_src), jnp.asarray(g_tgt), jnp.asarray(taus),
-                    jnp.asarray(noise),
+                    jnp.asarray(noise), fast=self.fast,
                 )
                 audio = np.asarray(audio)
             dt = time.perf_counter() - t0
