@@ -22,6 +22,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--parity", action="store_true", help="full-f32 instead of the bf16 serving mode")
     args = ap.parse_args()
 
     import jax
@@ -32,7 +33,7 @@ def main() -> None:
     from openvoice_tpu.serve.batcher import ConvertBatcher, ConvertRequest
 
     params = S.init_synthesizer(jax.random.PRNGKey(0), cfg)
-    batcher = ConvertBatcher(params, cfg, max_batch=args.batch, max_wait_ms=5.0)
+    batcher = ConvertBatcher(params, cfg, max_batch=args.batch, max_wait_ms=5.0, fast=not args.parity)
     batcher.start()
 
     n_frames = int(args.seconds * cfg.sampling_rate / cfg.hop_length)

@@ -9,3 +9,20 @@ the hot ops. Nothing here is a translation of the reference's torch code.
 __version__ = "0.1.0"
 
 from openvoice_tpu.config import HParams, load_hparams, SynthesizerConfig  # noqa: F401
+
+__all__ = [
+    "HParams",
+    "SynthesizerConfig",
+    "load_hparams",
+    "BaseSpeakerTTS",
+    "ToneColorConverter",
+]
+
+
+def __getattr__(name: str):
+    # lazy: importing the package shouldn't pull in jax-compiled modules
+    if name in ("BaseSpeakerTTS", "ToneColorConverter"):
+        from openvoice_tpu import api
+
+        return getattr(api, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,66 @@
+"""Fused MRF ResBlock-stage kernel vs the unfused XLA path (interpret mode —
+kernel-golden test per SURVEY.md §4 item 1)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openvoice_tpu.nn.hifigan import apply_resblock1
+from openvoice_tpu.ops.mrf_pallas import fused_mrf_stage, pack_stage_weights, stage_halo
+
+KS = (3, 7, 11)
+DILS = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+
+
+def _random_resblocks(rng, c):
+    out = []
+    for k in KS:
+        out.append({
+            "convs1": [
+                {"w": jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32)) * 0.05,
+                 "b": jnp.asarray(rng.standard_normal(c).astype(np.float32)) * 0.05}
+                for _ in range(3)
+            ],
+            "convs2": [
+                {"w": jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32)) * 0.05,
+                 "b": jnp.asarray(rng.standard_normal(c).astype(np.float32)) * 0.05}
+                for _ in range(3)
+            ],
+        })
+    return out
+
+
+def _xla_mrf(resblocks, x, mask):
+    acc = None
+    for rb, d in zip(resblocks, DILS):
+        r = apply_resblock1(rb, x, d, mask)
+        acc = r if acc is None else acc + r
+    return acc / len(resblocks)
+
+
+def test_stage_halo():
+    # k=11, dils (1,3,5): 5·(1+1) + 5·(3+1) + 5·(5+1) = 60
+    assert stage_halo(KS, DILS) == 60
+
+
+@pytest.mark.parametrize("c,t", [(64, 2500), (32, 1024), (128, 3000)])
+def test_fused_matches_xla(c, t):
+    rng = np.random.default_rng(c + t)
+    resblocks = _random_resblocks(rng, c)
+    b = 2
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32)) * 0.5
+    lengths = jnp.asarray([t, max(t - 321, 8)], jnp.int32)
+    mask = (jnp.arange(t)[None, :, None] < lengths[:, None, None]).astype(jnp.float32)
+    x = x * mask
+
+    ref = np.asarray(_xla_mrf(resblocks, x, mask))
+    w_all, b_all, _ = pack_stage_weights(resblocks, KS, DILS, dtype=jnp.float32)
+    out = np.asarray(
+        fused_mrf_stage(
+            x, lengths, w_all, b_all,
+            kernel_sizes=KS, dilation_sizes=DILS, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
