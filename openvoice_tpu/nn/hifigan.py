@@ -137,7 +137,9 @@ def apply_generator(
                 dtype=x.dtype,
             )
             if x_mask is not None:
-                lengths = jnp.sum(x_mask[:, :, 0], axis=1).astype(jnp.int32)
+                # int32 accumulation: a bf16 sum can't represent every
+                # integer above 256, which would shift the mask boundary
+                lengths = jnp.sum(x_mask[:, :, 0].astype(jnp.int32), axis=1)
             else:
                 lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
             x = fused_mrf_stage(

@@ -123,28 +123,32 @@ def _mrf_kernel(
     acc = jnp.zeros((ext, out_ref.shape[2]), jnp.float32)
     tap = 0
     conv_idx = 0
+
+    def conv(xt, tap0, shifts):
+        # k accumulating tap-matmuls.  (A lane-concat variant — [E, k·C] ×
+        # [k·C, C] in one matmul — was tried and abandoned: Mosaic takes
+        # 20+ min to compile the wide concats at production shapes, an
+        # unacceptable per-bucket serving cost.)
+        y = jnp.zeros((ext, xt.shape[1]), jnp.float32)
+        for off, s in enumerate(shifts):
+            y = y + jnp.dot(
+                _shift(xt, s, ext), w_ref[tap0 + off],
+                preferred_element_type=jnp.float32,
+            )
+        return y
+
     # masking order mirrors apply_resblock1 exactly: lrelu → ·mask → conv
     # for both convs of each pair, residual add, branch output ·mask
     for br in range(n_branches):
         xb = x0
         for pair in range(convs_per_branch // 2):
             xt = _lrelu(xb) * mask
-            y = jnp.zeros((ext, out_ref.shape[2]), jnp.float32)
-            for s in meta[conv_idx]:
-                y = y + jnp.dot(
-                    _shift(xt, s, ext), w_ref[tap],
-                    preferred_element_type=jnp.float32,
-                )
-                tap += 1
+            y = conv(xt, tap, meta[conv_idx])
+            tap += len(meta[conv_idx])
             xt = _lrelu((y + b_ref[conv_idx]).astype(xb.dtype)) * mask
             conv_idx += 1
-            y2 = jnp.zeros((ext, out_ref.shape[2]), jnp.float32)
-            for s in meta[conv_idx]:
-                y2 = y2 + jnp.dot(
-                    _shift(xt, s, ext), w_ref[tap],
-                    preferred_element_type=jnp.float32,
-                )
-                tap += 1
+            y2 = conv(xt, tap, meta[conv_idx])
+            tap += len(meta[conv_idx])
             xb = xb + (y2 + b_ref[conv_idx]).astype(xb.dtype)
             conv_idx += 1
         acc = acc + (xb * mask).astype(jnp.float32)
