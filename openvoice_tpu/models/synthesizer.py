@@ -384,16 +384,29 @@ def voice_conversion_masked(
     g_enc = jnp.zeros_like(g_src) if cfg.zero_g else g_src
     g_dec = jnp.zeros_like(g_tgt) if cfg.zero_g else g_tgt
 
-    z, _, _ = posterior_encode(params, cfg, spec, y_mask, g_enc, tau, noise)
-    z_p = apply_coupling_block(params["flow"], z, y_mask, g=g_src, reverse=False)
-    z_hat = apply_coupling_block(params["flow"], z_p, y_mask, g=g_tgt, reverse=True)
+    if fast:
+        # serving mode: the whole post-STFT graph runs bf16 — the flows'
+        # bf16 rounding (~3e-3 relative) is far below the intentional
+        # sampling noise injected at tau (api.py:141 default 0.3)
+        to_bf16 = lambda a: a.astype(jnp.bfloat16)
+        enc_flow_params = jax.tree.map(
+            to_bf16, {"enc_q": params["enc_q"], "flow": params["flow"]}
+        )
+        spec, y_mask, noise = to_bf16(spec), to_bf16(y_mask), to_bf16(noise)
+        g_src, g_tgt = to_bf16(g_src), to_bf16(g_tgt)
+        g_enc, g_dec = to_bf16(g_enc), to_bf16(g_dec)
+        tau = jnp.asarray(tau, jnp.bfloat16)
+    else:
+        enc_flow_params = params
+
+    z, _, _ = posterior_encode(enc_flow_params, cfg, spec, y_mask, g_enc, tau, noise)
+    z_p = apply_coupling_block(enc_flow_params["flow"], z, y_mask, g=g_src, reverse=False)
+    z_hat = apply_coupling_block(enc_flow_params["flow"], z_p, y_mask, g=g_tgt, reverse=True)
 
     dec_params, x_dec = params["dec"], z_hat * y_mask
     mask_dec = y_mask
     if fast:
-        to_bf16 = lambda a: a.astype(jnp.bfloat16)
         dec_params = jax.tree.map(to_bf16, dec_params)
-        x_dec, g_dec, mask_dec = to_bf16(x_dec), to_bf16(g_dec), to_bf16(y_mask)
     audio = apply_generator(
         dec_params,
         x_dec,
