@@ -483,11 +483,13 @@ def tts_decode(
     max_frames: int,
     noise: jnp.ndarray,
     noise_scale: float = 0.667,
+    fast: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Length-regulate + reverse flow + decode, padded to static `max_frames`
     (second half of models.py:479-490).
 
-    noise: [B, max_frames, inter] standard normal.
+    noise: [B, max_frames, inter] standard normal.  fast=True: bf16 flow +
+    decoder (the serving mode; f32 is the parity default).
     Returns (audio [B, max_frames·upsample, 1], y_mask [B, max_frames, 1]).
     """
     y_lengths = jnp.clip(jnp.sum(enc.w_ceil, axis=-1), 1, max_frames).astype(jnp.int32)
@@ -499,24 +501,32 @@ def tts_decode(
     logs_p = jnp.einsum("byt,btc->byc", attn, enc.logs_p, precision=None)
 
     z_p = m_p + noise * jnp.exp(logs_p) * noise_scale
-    z = apply_coupling_block(params["flow"], z_p, y_mask, g=enc.g, reverse=True)
+    g = enc.g
+    flow_params, dec_params = params["flow"], params["dec"]
+    if fast:
+        to_bf16 = lambda a: a.astype(jnp.bfloat16)
+        flow_params = jax.tree.map(to_bf16, flow_params)
+        dec_params = jax.tree.map(to_bf16, dec_params)
+        z_p, y_mask = to_bf16(z_p), to_bf16(y_mask)
+        g = to_bf16(g) if g is not None else None
+    z = apply_coupling_block(flow_params, z_p, y_mask, g=g, reverse=True)
     audio = apply_generator(
-        params["dec"],
+        dec_params,
         z * y_mask,
         resblock_kind=cfg.resblock,
         resblock_dilation_sizes=cfg.resblock_dilation_sizes,
         upsample_rates=cfg.upsample_rates,
         upsample_kernel_sizes=cfg.upsample_kernel_sizes,
-        g=enc.g,
+        g=g,
         x_mask=y_mask,
     )
-    return audio, y_mask
+    return audio.astype(jnp.float32), y_mask
 
 
 # jitted stage wrappers: one compiled program per (cfg, token-bucket) /
 # (cfg, frame-bucket); sampling knobs stay traced so changing them is free
 tts_encode_jit = jax.jit(tts_encode, static_argnames=("cfg",))
-tts_decode_jit = jax.jit(tts_decode, static_argnames=("cfg", "max_frames"))
+tts_decode_jit = jax.jit(tts_decode, static_argnames=("cfg", "max_frames", "fast"))
 voice_conversion_jit = jax.jit(voice_conversion, static_argnames=("cfg", "fast"))
 
 
