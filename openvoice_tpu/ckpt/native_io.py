@@ -57,7 +57,9 @@ def _unflatten(flat: dict[str, np.ndarray]) -> Any:
             return node
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
-            return [listify(node[str(i)]) for i in range(len(keys))]
+            # sort numerically and tolerate gaps (a None leaf inside a list
+            # is skipped by _flatten, leaving e.g. keys {0, 2})
+            return [listify(node[k]) for k in sorted(keys, key=int)]
         return {k: listify(v) for k, v in node.items()}
 
     return listify(root)

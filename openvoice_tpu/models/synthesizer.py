@@ -520,7 +520,9 @@ def tts_decode(
         g=g,
         x_mask=y_mask,
     )
-    return audio.astype(jnp.float32), y_mask
+    # y_mask back to f32: callers sum it to recover lengths (infer below),
+    # and bf16 integer counts are wrong past 256
+    return audio.astype(jnp.float32), y_mask.astype(jnp.float32)
 
 
 # jitted stage wrappers: one compiled program per (cfg, token-bucket) /

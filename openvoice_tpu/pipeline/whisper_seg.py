@@ -101,12 +101,19 @@ class HFWhisperSegmenter:
         return segments
 
 
+_SEGMENTER_CACHE: dict[str, object] = {}
+
+
 def make_segmenter(prefer_whisper: bool = False):
     """Best-available segmenter: whisper when cached weights exist and
-    requested, else None (callers use the VAD splitter)."""
-    if prefer_whisper:
+    requested, else None (callers use the VAD splitter).  The constructed
+    segmenter (or the None verdict) is cached module-wide — a Whisper
+    pipeline load costs seconds and must not recur per request."""
+    if not prefer_whisper:
+        return None
+    if "whisper" not in _SEGMENTER_CACHE:
         try:
-            return HFWhisperSegmenter()
+            _SEGMENTER_CACHE["whisper"] = HFWhisperSegmenter()
         except Exception:  # noqa: BLE001 — no weights / no backend
-            return None
-    return None
+            _SEGMENTER_CACHE["whisper"] = None
+    return _SEGMENTER_CACHE["whisper"]

@@ -48,7 +48,11 @@ def initialize(
     process runner; with none set this is single-process and a no-op.
     """
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
-    if coordinator_address and jax.process_count() == 1:
+    # IMPORTANT: nothing may touch the jax backend (process_count, devices,
+    # any computation) before jax.distributed.initialize — probe the client
+    # state directly instead
+    already_initialized = jax._src.distributed.global_state.client is not None
+    if coordinator_address and not already_initialized:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes or int(os.environ.get("NUM_PROCESSES", "1")),
@@ -76,6 +80,13 @@ def global_mesh(model_parallel: int | None = None) -> Mesh:
         raise ValueError(
             f"model_parallel={model} exceeds local device count {local}; "
             "the model axis must stay inside one host's ICI domain"
+        )
+    if local % model:
+        # e.g. 8 local devices, model=3: reshape would put a model group
+        # across the host boundary and its collectives onto DCN
+        raise ValueError(
+            f"model_parallel={model} must divide the local device count "
+            f"{local} so every model group stays inside one host's ICI domain"
         )
     total = jax.device_count()
     if total % model:
@@ -108,18 +119,37 @@ class HeartbeatMonitor:
         self._injected = True
 
     def beat(self) -> bool:
-        """True if all hosts responded within the timeout."""
+        """True if all hosts responded within the timeout.
+
+        The barrier runs in a worker thread because sync_global_devices has
+        no timeout of its own — a dead peer would otherwise hang the
+        monitor on exactly the failure it exists to detect.  A timed-out
+        barrier thread is left behind (daemonized); the caller is expected
+        to tear down or re-initialize the distributed runtime on False.
+        """
         if self._injected:
             return False
-        start = time.monotonic()
-        try:
-            if jax.process_count() > 1:
-                from jax.experimental import multihost_utils
+        beats = self._beats
+        result: list[bool] = []
 
-                multihost_utils.sync_global_devices(f"heartbeat-{self._beats}")
-            else:
-                jax.block_until_ready(jax.numpy.ones(()))
-            self._beats += 1
-            return (time.monotonic() - start) <= self.timeout_s
-        except Exception:  # noqa: BLE001 — any collective failure = dead host
+        def barrier() -> None:
+            try:
+                if jax.process_count() > 1:
+                    from jax.experimental import multihost_utils
+
+                    multihost_utils.sync_global_devices(f"heartbeat-{beats}")
+                else:
+                    jax.block_until_ready(jax.numpy.ones(()))
+                result.append(True)
+            except Exception:  # noqa: BLE001 — any collective failure = dead host
+                result.append(False)
+
+        import threading
+
+        t = threading.Thread(target=barrier, daemon=True)
+        t.start()
+        t.join(self.timeout_s)
+        if t.is_alive() or not result or not result[0]:
             return False
+        self._beats += 1
+        return True

@@ -33,12 +33,19 @@ SUPPORTED_LANGUAGES = ("zh", "en")
 
 
 def detect_language(text: str) -> str:
-    """'zh' when the text contains Han characters, else 'en' (the app's
-    supported routing set, openvoice_app.py:16,51-56)."""
+    """Script-based detection for the app's routing set: Han → 'zh',
+    kana → 'ja', hangul → 'ko', else 'en'.  'ja'/'ko' exist so the
+    unsupported-language rejection fires like the reference's langid path
+    (openvoice_app.py:51-56) instead of feeding CJK text to the EN G2P."""
+    has_han = False
     for ch in text:
+        if "぀" <= ch <= "ヿ":  # hiragana/katakana
+            return "ja"
+        if "가" <= ch <= "힯" or "ᄀ" <= ch <= "ᇿ":  # hangul
+            return "ko"
         if "一" <= ch <= "鿿" or "㐀" <= ch <= "䶿":
-            return "zh"
-    return "en"
+            has_han = True
+    return "zh" if has_han else "en"
 
 
 @dataclass

@@ -65,12 +65,19 @@ def scan_dataset(
             if f.lower().endswith((".wav", ".mp3")):
                 files.append((os.path.join(sdir, f), speaker))
 
+    from openvoice_tpu.audio.io import wav_num_samples
+
     segments: list[Segment] = []
     for idx, (path, speaker) in enumerate(files):
         if idx % pc != pi:  # per-host shard of the file list
             continue
-        audio, _ = load_audio(path, sr=cfg.sampling_rate)
-        n = (len(audio) - seg_samples) // step + 1 if len(audio) >= seg_samples else 0
+        # window count needs only the length — read it from the WAV header
+        # rather than decoding the entire corpus at scan time
+        if path.lower().endswith(".wav"):
+            length = wav_num_samples(path, target_sr=cfg.sampling_rate)
+        else:
+            length = len(load_audio(path, sr=cfg.sampling_rate)[0])
+        n = (length - seg_samples) // step + 1 if length >= seg_samples else 0
         for j in range(n):
             segments.append(Segment(path, j * step, segment_frames, speaker))
     return segments
@@ -101,8 +108,8 @@ class ConverterDataset:
 
     def _audio(self, path: str) -> np.ndarray:
         if path not in self._audio_cache:
-            if len(self._audio_cache) > 256:
-                self._audio_cache.clear()
+            while len(self._audio_cache) > 256:  # evict oldest, not everything
+                self._audio_cache.pop(next(iter(self._audio_cache)))
             self._audio_cache[path] = load_audio(path, sr=self.cfg.sampling_rate)[0]
         return self._audio_cache[path]
 

@@ -41,6 +41,12 @@ def train(
     False runs the mel+KL-only warmup objective (train_step).
     """
     ds = ConverterDataset(data_root, cfg, batch_size, segment_frames, seed=seed)
+    if len(ds.segments) < batch_size:
+        raise ValueError(
+            f"dataset yields {len(ds.segments)} segments < batch_size "
+            f"{batch_size}: no full batch can form (shorten segment_frames, "
+            "lower batch_size, or add data)"
+        )
 
     key = jax.random.PRNGKey(seed)
     if adversarial:
@@ -75,10 +81,10 @@ def train(
             if adversarial:
                 state, metrics = T.gan_train_step(
                     state, cfg, spec, audio, lengths, g, sub,
-                    segment_frames=min(32, segment_frames),
+                    segment_frames=min(32, segment_frames), lr=lr,
                 )
             else:
-                state, metrics = T.train_step(state, cfg, spec, audio, lengths, g, sub)
+                state, metrics = T.train_step(state, cfg, spec, audio, lengths, g, sub, lr=lr)
             step += 1
             if log_every and step % log_every == 0 and jax.process_index() == 0:
                 ms = {k: round(float(v), 4) for k, v in metrics.items()}

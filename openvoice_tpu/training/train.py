@@ -191,15 +191,18 @@ def gan_train_step(
     c_mel: float = 45.0,
     c_kl: float = 1.0,
     c_fm: float = 2.0,
+    lr: float = 2e-4,
 ) -> tuple[GanTrainState, dict]:
     """One full adversarial step (discriminator update, then generator update),
     following the HiFi-GAN/VITS alternating-Adam recipe in a single jitted
     graph.  The discriminator sees a stop-gradiented fake for its update; the
     generator pass recomputes the forward inside its own grad so XLA can
-    rematerialize instead of storing two activation sets."""
+    rematerialize instead of storing two activation sets.  `lr` is traced —
+    pass the same value used at init (adam state is lr-invariant, so any
+    schedule can be driven from the caller without recompiling)."""
     from openvoice_tpu.training import discriminator as D
 
-    opt = make_optimizer()
+    opt = make_optimizer(lr)
 
     # ---- discriminator update (fake detached) ----
     audio_hat, target, _, _, _, _ = _generator_forward(
@@ -255,10 +258,12 @@ def train_step(
     spec_lengths: jnp.ndarray,
     g: jnp.ndarray,
     rng: jax.Array,
+    lr: float = 2e-4,
 ) -> tuple[TrainState, dict]:
     """One optimizer step.  Under a mesh, in/out shardings follow the arrays'
-    placements (shard_params + batch_sharding); GSPMD handles collectives."""
-    opt = make_optimizer()
+    placements (shard_params + batch_sharding); GSPMD handles collectives.
+    `lr` is traced — pass the value used at init (or a schedule's output)."""
+    opt = make_optimizer(lr)
 
     def loss_fn(p):
         return converter_loss(p, cfg, spec, audio, spec_lengths, g, rng)

@@ -33,6 +33,13 @@ def test_detect_language():
     assert detect_language("hello world") == "en"
     assert detect_language("你好世界") == "zh"
     assert detect_language("mixed 文本 here") == "zh"
+    assert detect_language("こんにちは元気ですか") == "ja"
+    assert detect_language("안녕하세요") == "ko"
+
+
+def test_unsupported_language_rejected(app):
+    r = app.predict("こんにちは、元気ですか？", "default", "x.wav", agree=True)
+    assert "[ERROR] The detected language ja" in r.info and r.audio is None
 
 
 @pytest.fixture(scope="module")

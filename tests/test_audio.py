@@ -126,3 +126,15 @@ def test_spec_to_mel_log_compression():
     spec = np.zeros((1, 513, 4), np.float32)
     mel = np.asarray(spec_to_mel(spec, 22050, 1024, 80))
     np.testing.assert_allclose(mel, np.log(1e-5), atol=1e-4)
+
+
+def test_wav_num_samples_matches_decode(tmp_path):
+    import numpy as np
+    from openvoice_tpu.audio.io import load_audio, save_wav, wav_num_samples
+    sr = 44100
+    x = np.random.default_rng(0).standard_normal(12345).astype(np.float32) * 0.1
+    path = str(tmp_path / "h.wav")
+    save_wav(path, x, sr)
+    assert wav_num_samples(path) == 12345
+    resampled, _ = load_audio(path, sr=22050)
+    assert abs(wav_num_samples(path, target_sr=22050) - len(resampled)) <= 1

@@ -54,3 +54,13 @@ def test_step_management(params, tmp_path_factory):
     assert CIO.latest_step(d) == 20
     restored = CIO.load_checkpoint(f"{d}/step_20")
     np.testing.assert_array_equal(np.asarray(restored["w"]), np.full(3, 2.0))
+
+
+def test_npz_tolerates_none_gaps(tmp_path_factory):
+    import numpy as np
+    path = str(tmp_path_factory.mktemp("gaps") / "t.npz")
+    tree = {"xs": [np.ones(2), None, np.full(2, 3.0)], "cond": None}
+    CIO.save_npz(path, tree)
+    restored = CIO.load_npz(path)
+    assert len(restored["xs"]) == 2  # None leaf dropped, order kept
+    np.testing.assert_array_equal(restored["xs"][1], np.full(2, 3.0))
