@@ -106,10 +106,11 @@ def apply_generator(
 
     resblock_fn = apply_resblock1 if resblock_kind == "1" else apply_resblock2
     num_kernels = len(resblock_dilation_sizes)
-    # fused Pallas MRF stage (ops/mrf_pallas.py): wins 1.7-3.2× over the
-    # unfused convs at 64 ≤ C ≤ 128 in bf16 on TPU (measured v5e); below 64
-    # channels the 128-lane padding waste flips the verdict, above 128 the
-    # stacked weights outgrow VMEM
+    # fused Pallas MRF stage (ops/mrf_pallas.py) for every stage in serving
+    # mode: C=128 runs plain tap-matmuls (~114 TF/s on v5e vs ~33 unfused),
+    # C<128 stages fold 128//C samples into the lane dim to fill the MXU
+    # (7.5× at C=32), C=256 streams branch weights from HBM (stacked stage
+    # weights outgrow VMEM)
     use_fused = (
         resblock_kind == "1"
         and x.dtype == jnp.bfloat16
@@ -123,9 +124,10 @@ def apply_generator(
             x_mask = jnp.repeat(x_mask, u, axis=1)
             x = x * x_mask
         c_stage = x.shape[-1]
-        if use_fused and 64 <= c_stage <= 128:
+        if use_fused and (c_stage >= 128 or 128 % c_stage == 0):
             from openvoice_tpu.ops.mrf_pallas import fused_mrf_stage, pack_stage_weights
 
+            fold = 1 if c_stage >= 128 else 128 // c_stage
             kernel_sizes = tuple(
                 params["resblocks"][i * num_kernels + j]["convs1"][0]["w"].shape[0]
                 for j in range(num_kernels)
@@ -135,6 +137,7 @@ def apply_generator(
                 kernel_sizes,
                 resblock_dilation_sizes,
                 dtype=x.dtype,
+                fold=fold,
             )
             if x_mask is not None:
                 # int32 accumulation: a bf16 sum can't represent every
@@ -146,6 +149,7 @@ def apply_generator(
                 x, lengths, w_all, b_all,
                 kernel_sizes=kernel_sizes,
                 dilation_sizes=tuple(tuple(d) for d in resblock_dilation_sizes),
+                fold=fold,
             )
             continue
         acc = None

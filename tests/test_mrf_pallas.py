@@ -64,3 +64,57 @@ def test_fused_matches_xla(c, t):
         )
     )
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "c,t,fold",
+    [
+        (32, 1030, 4),   # non-multiple t exercises fold padding
+        (64, 2500, 2),
+        (16, 512, 8),
+    ],
+)
+def test_folded_matches_xla(c, t, fold):
+    """Time-folded variant: [T, C] packed as [T/r, r·C] with block-structured
+    folded weights must match the unfused masked path exactly."""
+    rng = np.random.default_rng(7 * c + t)
+    resblocks = _random_resblocks(rng, c)
+    b = 2
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32)) * 0.5
+    lengths = jnp.asarray([t, max(t - 157, 8)], jnp.int32)
+    mask = (jnp.arange(t)[None, :, None] < lengths[:, None, None]).astype(jnp.float32)
+    x = x * mask
+
+    ref = np.asarray(_xla_mrf(resblocks, x, mask))
+    w_all, b_all, _ = pack_stage_weights(resblocks, KS, DILS, dtype=jnp.float32, fold=fold)
+    out = np.asarray(
+        fused_mrf_stage(
+            x, lengths, w_all, b_all,
+            kernel_sizes=KS, dilation_sizes=DILS, fold=fold, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_streamed_weights_match_xla():
+    """Weight-streaming path (stacked weights > VMEM budget → branch DMA
+    from HBM) must match the resident-weights path bit-for-bit.  C=192 keeps
+    the test fast while crossing the 6 MB f32 streaming threshold."""
+    c, t = 192, 1500
+    rng = np.random.default_rng(99)
+    resblocks = _random_resblocks(rng, c)
+    x = jnp.asarray(rng.standard_normal((1, t, c)).astype(np.float32)) * 0.5
+    lengths = jnp.asarray([t - 93], jnp.int32)
+    mask = (jnp.arange(t)[None, :, None] < lengths[:, None, None]).astype(jnp.float32)
+    x = x * mask
+
+    ref = np.asarray(_xla_mrf(resblocks, x, mask))
+    w_all, b_all, _ = pack_stage_weights(resblocks, KS, DILS, dtype=jnp.float32)
+    assert w_all.size * 4 > 6 * 1024 * 1024  # crosses the streaming threshold
+    out = np.asarray(
+        fused_mrf_stage(
+            x, lengths, w_all, b_all,
+            kernel_sizes=KS, dilation_sizes=DILS, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
