@@ -285,7 +285,9 @@ def _spec_inner(padded_audio: jnp.ndarray, cfg: SynthesizerConfig) -> jnp.ndarra
 class BaseSpeakerTTS(OpenVoiceBaseClass):
     """V1 text→speech in stock voices (reference api.py:42-98)."""
 
-    language_marks = {"english": "EN", "chinese": "ZH"}
+    # the reference ships EN/ZH only (api.py:43-46); JA/KO work here because
+    # our frontend implements the cleaners the reference left undefined
+    language_marks = {"english": "EN", "chinese": "ZH", "japanese": "JA", "korean": "KO"}
 
     def tts(
         self,

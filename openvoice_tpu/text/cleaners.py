@@ -1,9 +1,11 @@
 """Cleaners: language-tagged text → IPA (reference: text/cleaners.py).
 
-`cjke_cleaners2` dispatches [ZH]/[EN] spans.  The reference also references
-[JA]/[KO] handlers that were never imported/defined (text/cleaners.py:9,11 —
-a latent NameError), so V1 effectively supports EN and ZH only; we scope
-JA/KO out explicitly with a clear error instead of crashing mid-regex.
+`cjke_cleaners2` dispatches [ZH]/[JA]/[KO]/[EN] spans.  The reference
+*advertises* all four (text/cleaners.py:5-16) but its JA/KO handlers are
+referenced without ever being imported or defined (text/cleaners.py:9,11 — a
+latent NameError), so V1 there effectively supports EN and ZH only.  Here all
+four work: JA/KO are self-contained implementations constrained to the same
+checkpoint symbol inventory (see text/japanese.py, text/korean.py).
 """
 
 from __future__ import annotations
@@ -11,24 +13,15 @@ from __future__ import annotations
 import re
 
 from openvoice_tpu.text.english import english_to_ipa2
+from openvoice_tpu.text.japanese import japanese_to_ipa2
+from openvoice_tpu.text.korean import korean_to_ipa
 from openvoice_tpu.text.mandarin import chinese_to_ipa
-
-
-def _unsupported(lang: str):
-    def handler(m: re.Match) -> str:
-        raise NotImplementedError(
-            f"[{lang}] spans are not supported by the V1 frontend (the reference "
-            f"has the same gap — its {lang} cleaner is referenced but undefined); "
-            "use the V2 path with an external base TTS for this language"
-        )
-
-    return handler
 
 
 def cjke_cleaners2(text: str) -> str:
     text = re.sub(r"\[ZH\](.*?)\[ZH\]", lambda m: chinese_to_ipa(m.group(1)) + " ", text)
-    text = re.sub(r"\[JA\](.*?)\[JA\]", _unsupported("JA"), text)
-    text = re.sub(r"\[KO\](.*?)\[KO\]", _unsupported("KO"), text)
+    text = re.sub(r"\[JA\](.*?)\[JA\]", lambda m: japanese_to_ipa2(m.group(1)) + " ", text)
+    text = re.sub(r"\[KO\](.*?)\[KO\]", lambda m: korean_to_ipa(m.group(1)) + " ", text)
     text = re.sub(r"\[EN\](.*?)\[EN\]", lambda m: english_to_ipa2(m.group(1)) + " ", text)
     text = re.sub(r"\s+$", "", text)
     text = re.sub(r"([^\.,!\?\-…~])$", r"\1.", text)

@@ -12,7 +12,10 @@ import re
 
 
 def split_sentence(text: str, min_len: int = 10, language_str: str = "EN") -> list[str]:
-    if language_str in ("EN", "[EN]"):
+    """EN and KO split on words (space-delimited scripts); ZH and JA regroup
+    by character count (reference: utils.py:78-83 routes only EN vs ZH —
+    JA/KO routing is ours, since the reference's JA/KO path never worked)."""
+    if language_str in ("EN", "[EN]", "KO", "[KO]"):
         return _split_latin(text, min_len)
     return _split_zh(text, min_len)
 

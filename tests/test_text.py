@@ -112,9 +112,56 @@ def test_chinese_to_ipa_sentence():
     assert len(ids) >= 5
 
 
-def test_ja_ko_scoped_out():
-    with pytest.raises(NotImplementedError):
-        text_to_sequence("[JA]こんにちは[JA]", default_symbols, ["cjke_cleaners2"])
+def test_japanese_g2p():
+    # the reference's [JA] handler is a latent NameError (text/cleaners.py:9);
+    # ours works: kana, katakana, romaji, numbers, and the symbol contract
+    from openvoice_tpu.text.japanese import japanese_to_ipa2, number_to_kana
+
+    assert japanese_to_ipa2("こんにちは") == "konnitʃiwa"
+    assert japanese_to_ipa2("ありがとう") == "aɾigatoo"  # おう long-vowel merge
+    assert japanese_to_ipa2("きって") == "kitte"  # sokuon gemination
+    assert japanese_to_ipa2("しんぶん") == "ʃimbɯn"  # ん → m before b
+    assert "ŋ" in japanese_to_ipa2("にほんご")  # ん → ŋ before g
+    assert japanese_to_ipa2("キャンペーン") == "kjampeen"  # katakana + chouon
+    assert japanese_to_ipa2("konnichiwa") == "konnitʃiwa"  # romaji input
+    assert number_to_kana("2005") == "にせんご"
+    assert number_to_kana("600") == "ろっぴゃく"  # euphonic change
+    out = japanese_to_ipa2("365にち")
+    assert out.startswith("sambjakɯ")
+    # kanji needs a reading dictionary → clear error, not garbage
+    with pytest.raises(ValueError):
+        japanese_to_ipa2("日本語")
+
+
+def test_korean_g2p():
+    # the reference's [KO] handler is a latent NameError (text/cleaners.py:11)
+    from openvoice_tpu.text.korean import korean_to_ipa, number_to_hangul
+
+    assert korean_to_ipa("안녕하세요") == "annjəŋhasejo"
+    assert korean_to_ipa("한국어") == "hangugə"  # liaison
+    assert korean_to_ipa("감사합니다") == "kamsahamnida"  # nasalization
+    assert korean_to_ipa("좋다") == "tʃotʰa"  # ㅎ aspiration fusion
+    assert korean_to_ipa("굳이") == "kudʑi"  # palatalization
+    assert korean_to_ipa("신라") == "ʃiɫɫa"  # liquidization
+    assert korean_to_ipa("학교") == "hakk⁼jo"  # tensification
+    assert korean_to_ipa("읽다") == "ikt⁼a"  # cluster reduction ㄺ→ㄱ
+    assert korean_to_ipa("바보") == "pabo"  # initial devoicing + voicing
+    assert number_to_hangul("2005") == "이천오"
+    with pytest.raises(ValueError):
+        korean_to_ipa("hello 세계")  # latin inside [KO] is out of scope
+
+
+def test_ja_ko_tokenize_within_inventory():
+    for tagged in ("[JA]こんにちは、げんきですか？[JA]", "[KO]안녕하세요. 감사합니다![KO]"):
+        ids = text_to_sequence(tagged, default_symbols, ["cjke_cleaners2"])
+        assert len(ids) >= 8
+        assert all(0 <= i < len(default_symbols) for i in ids)
+    # and the cleaned text itself survives tokenization near-losslessly
+    from openvoice_tpu.text import _clean_text
+
+    clean = _clean_text("[KO]안녕하세요[KO]", ["cjke_cleaners2"])
+    kept = [c for c in clean if c in default_symbols]
+    assert len(kept) >= len(clean) - 1  # at most the trailing period rewrite
 
 
 def test_split_sentences_matches_reference():
