@@ -102,6 +102,7 @@ class OpenVoiceBaseClass:
             from openvoice_tpu.ckpt.torch_import import load_torch_checkpoint
 
             self.params, report = load_torch_checkpoint(ckpt_path, self.cfg)
+        self._dec_cache = None
         print(f"Loaded checkpoint '{ckpt_path}'")
         print("missing/unexpected keys:", report["missing"], report["unexpected"])
         return report
@@ -109,11 +110,19 @@ class OpenVoiceBaseClass:
     def init_random(self, seed: int = 0) -> None:
         """Random weights (development / benchmarking without a checkpoint)."""
         self.params = S.init_synthesizer(jax.random.PRNGKey(seed), self.cfg)
+        self._dec_cache = None
 
     def _require_params(self) -> dict:
         if self.params is None:
             raise RuntimeError("no weights loaded: call load_ckpt() or init_random()")
         return self.params
+
+    def _require_dec_cache(self) -> dict:
+        """Lazily packed fused-decoder weights for the bf16 serving mode
+        (models/synthesizer.py::make_dec_cache); rebuilt on weight reload."""
+        if getattr(self, "_dec_cache", None) is None:
+            self._dec_cache = S.make_dec_cache(self._require_params(), self.cfg)
+        return self._dec_cache
 
 
 class ToneColorConverter(OpenVoiceBaseClass):
@@ -224,6 +233,7 @@ class ToneColorConverter(OpenVoiceBaseClass):
         out = _jit_convert(
             params, cfg, jnp.asarray(buf)[None], jnp.asarray([n_frames]),
             g_src, g_tgt, float(tau), noise, fast=fast,
+            dec_cache=self._require_dec_cache() if fast else None,
         )
         audio_out = np.asarray(out)[0, : n_frames * cfg.upsample_factor, 0]
         if self.enable_watermark and message:
@@ -256,12 +266,15 @@ _jit_tone_color = jax.jit(S.extract_tone_color)
 
 
 @partial(jax.jit, static_argnames=("cfg", "fast"))
-def _jit_convert(params, cfg, padded_audio, spec_lengths, g_src, g_tgt, tau, noise, fast=False):
+def _jit_convert(params, cfg, padded_audio, spec_lengths, g_src, g_tgt, tau, noise,
+                 fast=False, dec_cache=None):
     """The whole convert path — STFT → enc_q → flows → decoder — as ONE
-    compiled graph per bucket (SURVEY.md §7.1).  fast=True: bf16 decoder."""
+    compiled graph per bucket (SURVEY.md §7.1).  fast=True: bf16 decoder,
+    with pre-packed fused-kernel weights via dec_cache."""
     spec = _spec_inner(padded_audio, cfg)
     audio, _ = S.voice_conversion(
-        params, cfg, spec, spec_lengths, g_src, g_tgt, tau, noise, fast=fast
+        params, cfg, spec, spec_lengths, g_src, g_tgt, tau, noise, fast=fast,
+        dec_cache=dec_cache,
     )
     return audio
 

@@ -334,6 +334,22 @@ def extract_tone_color(
     return apply_reference_encoder(params["ref_enc"], spec, lengths)
 
 
+def make_dec_cache(params: dict, cfg: SynthesizerConfig, dtype=jnp.bfloat16) -> dict:
+    """One-time host-side packing of the decoder's fused-kernel weights.
+    Pass the result as `dec_cache` to voice_conversion / tts_decode so the
+    serving graph reads pre-packed tensors instead of re-packing per call."""
+    from openvoice_tpu.nn.hifigan import pack_generator_caches
+
+    return pack_generator_caches(
+        params["dec"],
+        resblock_kind=cfg.resblock,
+        resblock_dilation_sizes=cfg.resblock_dilation_sizes,
+        upsample_rates=cfg.upsample_rates,
+        upsample_kernel_sizes=cfg.upsample_kernel_sizes,
+        dtype=dtype,
+    )
+
+
 def voice_conversion(
     params: dict,
     cfg: SynthesizerConfig,
@@ -344,6 +360,7 @@ def voice_conversion(
     tau: float | jnp.ndarray,
     noise: jnp.ndarray,
     fast: bool = False,
+    dec_cache: dict | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Tone-color conversion (models.py:492-499).
 
@@ -362,7 +379,8 @@ def voice_conversion(
     t = spec.shape[1]
     y_mask = sequence_mask(spec_lengths, t)[..., None].astype(spec.dtype)
     audio = voice_conversion_masked(
-        params, cfg, spec, y_mask, g_src, g_tgt, tau, noise, fast=fast
+        params, cfg, spec, y_mask, g_src, g_tgt, tau, noise, fast=fast,
+        dec_cache=dec_cache,
     )
     return audio, y_mask
 
@@ -377,6 +395,7 @@ def voice_conversion_masked(
     tau: float | jnp.ndarray,
     noise: jnp.ndarray,
     fast: bool = False,
+    dec_cache: dict | None = None,
 ) -> jnp.ndarray:
     """Conversion body with an explicit frame mask [B, T, 1] — shared by the
     single-device path and the sequence-parallel path (which builds its mask
@@ -416,6 +435,7 @@ def voice_conversion_masked(
         upsample_kernel_sizes=cfg.upsample_kernel_sizes,
         g=g_dec,
         x_mask=mask_dec,
+        packed=dec_cache if fast else None,
     )
     return audio.astype(jnp.float32)
 
@@ -484,6 +504,7 @@ def tts_decode(
     noise: jnp.ndarray,
     noise_scale: float = 0.667,
     fast: bool = False,
+    dec_cache: dict | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Length-regulate + reverse flow + decode, padded to static `max_frames`
     (second half of models.py:479-490).
@@ -519,6 +540,7 @@ def tts_decode(
         upsample_kernel_sizes=cfg.upsample_kernel_sizes,
         g=g,
         x_mask=y_mask,
+        packed=dec_cache if fast else None,
     )
     # y_mask back to f32: callers sum it to recover lengths (infer below),
     # and bf16 integer counts are wrong past 256

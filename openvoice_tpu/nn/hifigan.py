@@ -75,6 +75,60 @@ def apply_resblock2(
     return x
 
 
+def pack_generator_caches(
+    params: dict,
+    *,
+    resblock_kind: str,
+    resblock_dilation_sizes: Sequence[Sequence[int]],
+    upsample_rates: Sequence[int],
+    upsample_kernel_sizes: Sequence[int],
+    dtype=None,
+) -> dict:
+    """One-time host-side packing of every fused Pallas stage's weights.
+
+    Returns {"mrf{i}": {"w", "b"}, "tail": {"w", "b"}} for the stages
+    apply_generator would fuse; pass the result as its `packed` argument to
+    keep the ~200 scatter ops of inline packing out of the serving graph
+    (they cost ~0.5 ms per call at V2 shapes).  dtype defaults to bfloat16
+    (the serving mode the fused path runs in).
+    """
+    from openvoice_tpu.ops.mrf_pallas import pack_stage_weights, pack_tail_weights
+
+    dtype = dtype or jnp.bfloat16
+    num_kernels = len(resblock_dilation_sizes)
+    caches: dict = {}
+    if resblock_kind != "1":
+        return caches
+    for i, (u, k_up) in enumerate(zip(upsample_rates, upsample_kernel_sizes)):
+        up = params["ups"][i]
+        c_in, c_stage = up["w"].shape[1], up["w"].shape[2]
+        rbs = [params["resblocks"][i * num_kernels + j] for j in range(num_kernels)]
+        kernel_sizes = tuple(rb["convs1"][0]["w"].shape[0] for rb in rbs)
+        pad_up = (k_up - u) // 2
+        fold_tail = 128 // c_stage if c_stage and 128 % c_stage == 0 else 0
+        if (
+            i == len(upsample_rates) - 1
+            and fold_tail
+            and fold_tail % u == 0
+            and (fold_tail // u) * c_in == 128
+            and k_up - u - 2 * pad_up == 0
+        ):
+            w_all, b_all, _, _, _ = pack_tail_weights(
+                up, rbs, params["conv_post"]["w"], kernel_sizes,
+                resblock_dilation_sizes, stride=u, up_padding=pad_up,
+                fold=fold_tail, dtype=dtype, host=True,
+            )
+            caches["tail"] = {"w": w_all, "b": b_all}
+        elif c_stage >= 128 or (c_stage and 128 % c_stage == 0):
+            fold = 1 if c_stage >= 128 else 128 // c_stage
+            w_all, b_all, _ = pack_stage_weights(
+                rbs, kernel_sizes, resblock_dilation_sizes,
+                dtype=dtype, fold=fold, host=True,
+            )
+            caches[f"mrf{i}"] = {"w": w_all, "b": b_all}
+    return caches
+
+
 def apply_generator(
     params: dict,
     x: jnp.ndarray,
@@ -85,6 +139,7 @@ def apply_generator(
     upsample_kernel_sizes: Sequence[int],
     g: jnp.ndarray | None = None,
     x_mask: jnp.ndarray | None = None,
+    packed: dict | None = None,
 ) -> jnp.ndarray:
     """x: [B, T, inter_channels] latent → [B, T·prod(upsample_rates), 1] audio.
 
@@ -117,8 +172,63 @@ def apply_generator(
         and jax.default_backend() == "tpu"
     )
     for i, (u, k_up) in enumerate(zip(upsample_rates, upsample_kernel_sizes)):
-        x = _lrelu(x)
         up = params["ups"][i]
+        if use_fused and i == len(upsample_rates) - 1:
+            # whole decoder tail (lrelu → upsample → MRF → lrelu(0.01) →
+            # conv_post → tanh) as one Pallas kernel when the folded layouts
+            # fill the 128 lanes exactly (ops/mrf_pallas.py::fused_tail_stage)
+            from openvoice_tpu.ops.mrf_pallas import fused_tail_stage, pack_tail_weights
+
+            c_in = x.shape[-1]
+            c_out = up["w"].shape[2]
+            fold = 128 // c_out if c_out and 128 % c_out == 0 else 0
+            pad_up = (k_up - u) // 2
+            if (
+                fold
+                and fold % u == 0
+                and (fold // u) * c_in == 128
+                and k_up - u - 2 * pad_up == 0
+            ):
+                kernel_sizes = tuple(
+                    params["resblocks"][i * num_kernels + j]["convs1"][0]["w"].shape[0]
+                    for j in range(num_kernels)
+                )
+                if packed is not None and "tail" in packed:
+                    from openvoice_tpu.ops.mrf_pallas import (
+                        fold_post_taps,
+                        fold_transpose_taps,
+                        stage_meta,
+                    )
+
+                    w_all = packed["tail"]["w"].astype(x.dtype)
+                    b_all = packed["tail"]["b"].astype(x.dtype)
+                    up_qs = tuple(fold_transpose_taps(k_up, u, pad_up, fold // u)[0])
+                    mrf_meta = stage_meta(kernel_sizes, resblock_dilation_sizes, fold)
+                    post_qs = tuple(fold_post_taps(params["conv_post"]["w"].shape[0], fold)[0])
+                else:
+                    w_all, b_all, up_qs, mrf_meta, post_qs = pack_tail_weights(
+                        up,
+                        [params["resblocks"][i * num_kernels + j] for j in range(num_kernels)],
+                        params["conv_post"]["w"],
+                        kernel_sizes,
+                        resblock_dilation_sizes,
+                        stride=u,
+                        up_padding=pad_up,
+                        fold=fold,
+                        dtype=x.dtype,
+                    )
+                if x_mask is not None:
+                    lengths = jnp.sum(x_mask[:, :, 0].astype(jnp.int32), axis=1) * u
+                else:
+                    lengths = jnp.full((x.shape[0],), x.shape[1] * u, jnp.int32)
+                return fused_tail_stage(
+                    x, lengths, w_all, b_all,
+                    kernel_sizes=kernel_sizes,
+                    dilation_sizes=tuple(tuple(d) for d in resblock_dilation_sizes),
+                    stride=u, fold=fold,
+                    up_qs=up_qs, mrf_meta=mrf_meta, post_qs=post_qs,
+                )
+        x = _lrelu(x)
         x = conv_transpose1d(x, up["w"], up["b"], stride=u, padding=(k_up - u) // 2)
         if x_mask is not None:
             x_mask = jnp.repeat(x_mask, u, axis=1)
@@ -132,13 +242,17 @@ def apply_generator(
                 params["resblocks"][i * num_kernels + j]["convs1"][0]["w"].shape[0]
                 for j in range(num_kernels)
             )
-            w_all, b_all, _ = pack_stage_weights(
-                [params["resblocks"][i * num_kernels + j] for j in range(num_kernels)],
-                kernel_sizes,
-                resblock_dilation_sizes,
-                dtype=x.dtype,
-                fold=fold,
-            )
+            if packed is not None and f"mrf{i}" in packed:
+                w_all = packed[f"mrf{i}"]["w"].astype(x.dtype)
+                b_all = packed[f"mrf{i}"]["b"].astype(x.dtype)
+            else:
+                w_all, b_all, _ = pack_stage_weights(
+                    [params["resblocks"][i * num_kernels + j] for j in range(num_kernels)],
+                    kernel_sizes,
+                    resblock_dilation_sizes,
+                    dtype=x.dtype,
+                    fold=fold,
+                )
             if x_mask is not None:
                 # int32 accumulation: a bf16 sum can't represent every
                 # integer above 256, which would shift the mask boundary

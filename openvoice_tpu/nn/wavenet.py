@@ -41,6 +41,31 @@ def apply_wn(
     else:
         g_all = None
 
+    # bf16 serving mode: the whole stack as one Pallas kernel with the
+    # residual/skip state VMEM-resident (ops/wn_pallas.py); the XLA path
+    # below is the f32 parity mode and the fallback for odd shapes
+    if (
+        x.dtype == jnp.bfloat16
+        and dilation_rate == 1
+        and jax.default_backend() == "tpu"
+        and x.shape[1] % 8 == 0
+        and hidden % 8 == 0
+    ):
+        from openvoice_tpu.ops.wn_pallas import MAX_FUSED_ROWS, fused_wn_stack, stack_wn_params
+
+        kernel_sizes = {p["w"].shape[0] for p in params["in"]}
+        if x.shape[1] <= MAX_FUSED_ROWS and len(kernel_sizes) == 1:
+            w_in, b_in, w_rs, b_rs = stack_wn_params(params, hidden, dtype=x.dtype)
+            if g_all is not None:
+                g_stack = g_all.reshape(x.shape[0], n_layers, 2 * hidden).astype(x.dtype)
+            else:
+                g_stack = jnp.zeros((x.shape[0], n_layers, 2 * hidden), x.dtype)
+            lengths = jnp.sum(x_mask[:, :, 0].astype(jnp.int32), axis=1)
+            return fused_wn_stack(
+                x * x_mask, lengths, w_in, b_in, g_stack, w_rs, b_rs,
+                kernel_size=kernel_sizes.pop(),
+            )
+
     output = jnp.zeros_like(x)
     for i in range(n_layers):
         lp = params["in"][i]

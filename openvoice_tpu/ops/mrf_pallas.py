@@ -34,10 +34,13 @@ Two extensions cover the stages the plain formulation can't serve:
   FLOPs), but full 128-lane MXU tiles more than repay it: measured 7.5×
   at C=32/r=4 and 2.1× at C=64/r=2 over the unfused XLA stage on v5e.
 * **Weight streaming** (`stream=True`): at C = 256 the stacked stage weights
-  (126 taps × C² × 2B = 16.5 MB bf16) outgrow VMEM.  Weights stay in HBM;
-  each branch's slice is DMA'd into a VMEM scratch right before its taps
-  run (~10 µs per 8.6 MB vs ~60 µs of branch matmuls — the pipeline hides
-  most of it).
+  (126 taps × C² × 2B = 16.5 MB bf16) outgrow VMEM.  Weights stay in HBM and
+  each conv's tap slice is DMA'd into one of two VMEM scratch slots,
+  double-buffered: conv i+1's copy is started before conv i's matmuls are
+  waited on, so the ~2 µs-per-conv DMA latency (×18 convs ×n_tiles, ~0.4 ms
+  per utterance when serialized) hides under the tap-matmuls.  In-order
+  instruction issue makes the overwrite safe: slot s is re-filled two convs
+  after its last matmul read was issued.
 
 Weights arrive as one stacked [n_taps, C', C'] tensor + [n_convs, C']
 biases (host-side packing below), keeping the pallas_call signature fixed
@@ -134,33 +137,163 @@ def branch_tap_ranges(kernel_sizes, dilation_sizes, fold: int):
 
 
 def pack_stage_weights(resblocks, kernel_sizes, dilation_sizes,
-                       dtype=jnp.bfloat16, fold: int = 1):
+                       dtype=jnp.bfloat16, fold: int = 1, host: bool = False):
     """Stack every conv's (folded) taps/biases in kernel execution order.
 
     resblocks: list of ResBlock1 param dicts ({"convs1": [...], "convs2":
     [...]}); returns (w_all [n_taps, fold·C, fold·C], b_all [n_convs, fold·C],
     meta) where meta is the static per-conv folded-shift tuple.
+
+    host=True builds with numpy (device→host pull + plain slice assignment):
+    use for one-time cache packing at model load — the jnp variant emits
+    hundreds of scatter ops and is only for packing inside a traced graph.
     """
+    xp = np if host else jnp
+    cvt = (lambda a: np.asarray(jax.device_get(a))) if host else (lambda a: a)
     taps, biases, meta = [], [], []
     for rb, k, dils in zip(resblocks, kernel_sizes, dilation_sizes):
         for i, d in enumerate(dils):
             for conv, dd in ((rb["convs1"][i], d), (rb["convs2"][i], 1)):
-                w = conv["w"]  # [k, C, C]
+                w = cvt(conv["w"])  # [k, C, C]
                 c = w.shape[1]
                 qs, placements = _folded_conv(k, dd, fold)
                 meta.append(tuple(qs))
                 for placed in placements:
                     if fold == 1:
                         (j, _, _), = placed
-                        taps.append(w[j].astype(dtype))
+                        taps.append(xp.asarray(w[j], dtype))
                     else:
-                        m = jnp.zeros((fold * c, fold * c), dtype)
+                        m = xp.zeros((fold * c, fold * c), dtype)
                         for j, b_ph, a in placed:
-                            m = m.at[b_ph * c:(b_ph + 1) * c,
-                                     a * c:(a + 1) * c].set(w[j].astype(dtype))
+                            block = xp.asarray(w[j], dtype)
+                            if host:
+                                m[b_ph * c:(b_ph + 1) * c, a * c:(a + 1) * c] = block
+                            else:
+                                m = m.at[b_ph * c:(b_ph + 1) * c,
+                                         a * c:(a + 1) * c].set(block)
                         taps.append(m)
-                biases.append(jnp.tile(conv["b"].astype(dtype), fold))
+                biases.append(xp.tile(xp.asarray(cvt(conv["b"]), dtype), fold))
+    if host:
+        return jnp.asarray(np.stack(taps)), jnp.asarray(np.stack(biases)), tuple(meta)
     return jnp.stack(taps), jnp.stack(biases), tuple(meta)
+
+
+def fold_transpose_taps(k: int, u: int, padding: int, fold_in: int):
+    """Folded tap structure of a ConvTranspose1d (kernel k, stride u, torch
+    `padding`) from a fold_in input layout to a fold_out = fold_in·u output
+    layout.  Requires k - u - 2·padding == 0 (the shipped HiFi-GAN configs),
+    so output rows map 1:1 to input rows.  Returns (qs, placements) where
+    placements[i] lists (j, b, a): original kernel tap j lands in block rows
+    b·C_in:(b+1)·C_in, cols a·C_out:(a+1)·C_out of folded tap q = qs[i]."""
+    from openvoice_tpu.nn.conv import _transpose_phase_groups
+
+    assert k - u - 2 * padding == 0, "tail fusion needs out_len == T·u configs"
+    groups = _transpose_phase_groups(k, u, k - 1 - padding)
+    fold_out = fold_in * u
+    per_q: dict[int, list[tuple[int, int, int]]] = {}
+    for a in range(fold_out):
+        p_req, t_off = a % u, a // u
+        for delta, pairs in groups.items():
+            for p, j in pairs:
+                if p != p_req:
+                    continue
+                q, b = divmod(t_off + delta, fold_in)
+                per_q.setdefault(q, []).append((j, b, a))
+    qs = sorted(per_q)
+    return qs, [per_q[q] for q in qs]
+
+
+def fold_post_taps(k: int, fold: int):
+    """Folded tap structure of the final 'same' conv (C→1, kernel k): tap j
+    at output phase a reads folded row q, phase b, with
+    (q, b) = divmod(a + j - (k-1)//2, fold).  Returns (qs, placements) with
+    placements[i] = [(j, b, a), ...]: w[j,:,0] lands in rows b·C:(b+1)·C,
+    column a."""
+    c0 = (k - 1) // 2
+    per_q: dict[int, list[tuple[int, int, int]]] = {}
+    for a in range(fold):
+        for j in range(k):
+            q, b = divmod(a + j - c0, fold)
+            per_q.setdefault(q, []).append((j, b, a))
+    qs = sorted(per_q)
+    return qs, [per_q[q] for q in qs]
+
+
+def pack_tail_weights(
+    up: dict,
+    resblocks,
+    post_w,
+    kernel_sizes,
+    dilation_sizes,
+    *,
+    stride: int,
+    up_padding: int,
+    fold: int,
+    dtype=jnp.bfloat16,
+    host: bool = False,
+):
+    """Stack the whole decoder tail — transposed-conv upsample, MRF
+    resblocks (folded by `fold`), final conv — as [n_taps, 128, 128]
+    matrices in kernel execution order, plus [1 + n_convs, 128] biases
+    (row 0 = upsample bias, tiled).
+
+    up: {"w": [k_up, C_in, C_out], "b": [C_out]} pre-flipped ConvTranspose1d
+    params (ckpt/torch_import.py layout); post_w: [k_post, C_out, 1].
+    Returns (w_all, b_all, up_qs, mrf_meta, post_qs).
+
+    host=True: numpy packing for one-time cache building (see
+    pack_stage_weights).
+    """
+    k_up, c_in, c_out = up["w"].shape
+    fold_in = fold // stride
+    lanes = fold * c_out
+    assert fold_in * c_in == lanes, "input and output layouts must both fill the lanes"
+    xp = np if host else jnp
+    cvt = (lambda a: np.asarray(jax.device_get(a))) if host else (lambda a: a)
+
+    def place(placed, block_of):
+        m = xp.zeros((lanes, lanes), dtype)
+        for j, b_ph, a in placed:
+            rs, re, cs, ce, val = block_of(j, b_ph, a)
+            if host:
+                m[rs:re, cs:ce] = np.asarray(val, dtype)
+            else:
+                m = m.at[rs:re, cs:ce].set(val.astype(dtype))
+        return m
+
+    up_w = cvt(up["w"])
+    taps = []
+    up_qs, placements = fold_transpose_taps(k_up, stride, up_padding, fold_in)
+    for placed in placements:
+        taps.append(place(
+            placed,
+            lambda j, b_ph, a: (b_ph * c_in, (b_ph + 1) * c_in,
+                                a * c_out, (a + 1) * c_out, up_w[j]),
+        ))
+
+    w_mrf, b_mrf, mrf_meta = pack_stage_weights(
+        resblocks, kernel_sizes, dilation_sizes, dtype=dtype, fold=fold, host=host
+    )
+    w_mrf_list = list(cvt(w_mrf)) if host else list(w_mrf)
+    taps.extend(w_mrf_list)
+
+    post_h = cvt(post_w)  # [k_post, C_out, 1]
+    post_qs, placements = fold_post_taps(post_h.shape[0], fold)
+    for placed in placements:
+        taps.append(place(
+            placed,
+            lambda j, b_ph, a: (b_ph * c_out, (b_ph + 1) * c_out,
+                                a, a + 1, post_h[j, :, :1]),
+        ))
+
+    up_b = xp.tile(xp.asarray(cvt(up["b"]), dtype), fold)[None]
+    if host:
+        b_all = jnp.asarray(np.concatenate([up_b, cvt(b_mrf)], axis=0))
+        w_all = jnp.asarray(np.stack(taps))
+    else:
+        b_all = jnp.concatenate([up_b, b_mrf], axis=0)
+        w_all = jnp.stack(taps)
+    return w_all, b_all, tuple(up_qs), mrf_meta, tuple(post_qs)
 
 
 def _lrelu(x, slope=0.1):
@@ -229,24 +362,39 @@ def _mrf_kernel(
     convs_per_branch = len(meta) // n_branches
     acc = jnp.zeros((ext, lanes), jnp.float32)
     conv_idx = 0
-    tap = 0
 
-    def conv(xt, tap0, shifts):
+    # static (tap0, n_taps) range of each conv in the stacked weights
+    ranges = []
+    t0 = 0
+    for shifts in meta:
+        ranges.append((t0, len(shifts)))
+        t0 += len(shifts)
+
+    def w_dma(slot: int, ci: int):
+        tap0, n = ranges[ci]
+        return pltpu.make_async_copy(
+            w_ref.at[pl.ds(tap0, n)], wbuf.at[slot, pl.ds(0, n)], wsem.at[slot]
+        )
+
+    if stream:
+        w_dma(0, 0).start()
+
+    def conv(xt, ci, shifts):
         # accumulating tap-matmuls.  (A lane-concat variant — [E, k·C] ×
         # [k·C, C] in one matmul — was tried and abandoned: Mosaic takes
         # 20+ min to compile the wide concats at production shapes, an
         # unacceptable per-bucket serving cost.)
         if stream:
-            # per-conv weight slice HBM→VMEM (whole-stage stacks > VMEM)
-            n = len(shifts)
-            wdma = pltpu.make_async_copy(
-                w_ref.at[pl.ds(tap0, n)], wbuf.at[pl.ds(0, n)], wsem
-            )
-            wdma.start()
-            wdma.wait()
-            weights, base = wbuf, 0
+            # double-buffered per-conv weight slice HBM→VMEM: start the next
+            # conv's copy, then wait on this one.  Program order already
+            # sequences conv ci-1's matmul reads of slot (ci+1)%2 before this
+            # start, so the overwrite can't race them.
+            if ci + 1 < len(meta):
+                w_dma((ci + 1) % 2, ci + 1).start()
+            w_dma(ci % 2, ci).wait()
+            weights, base = wbuf.at[ci % 2], 0
         else:
-            weights, base = w_ref, tap0
+            weights, base = w_ref, ranges[ci][0]
         y = jnp.zeros((ext, xt.shape[1]), jnp.float32)
         for off, s in enumerate(shifts):
             y = y + jnp.dot(
@@ -261,12 +409,10 @@ def _mrf_kernel(
         xb = x0
         for _pair in range(convs_per_branch // 2):
             xt = _lrelu(xb) * mask
-            y = conv(xt, tap, meta[conv_idx])
-            tap += len(meta[conv_idx])
+            y = conv(xt, conv_idx, meta[conv_idx])
             xt = _lrelu((y + b_ref[conv_idx]).astype(xb.dtype)) * mask
             conv_idx += 1
-            y2 = conv(xt, tap, meta[conv_idx])
-            tap += len(meta[conv_idx])
+            y2 = conv(xt, conv_idx, meta[conv_idx])
             xb = xb + (y2 + b_ref[conv_idx]).astype(xb.dtype)
             conv_idx += 1
         acc = acc + (xb * mask).astype(jnp.float32)
@@ -332,8 +478,8 @@ def fused_mrf_stage(
     ]
     if stream:
         scratch += [
-            pltpu.VMEM((max_conv_taps, c_pad, c_pad), w_all.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, max_conv_taps, c_pad, c_pad), w_all.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -370,3 +516,179 @@ def fused_mrf_stage(
     if fold > 1:
         out = out.reshape(b, tr * fold, c)
     return out[:, :t, :]
+
+
+def _tail_kernel(
+    len_ref,     # [B] int32 in SMEM: true OUTPUT sample lengths
+    x_ref,       # [B, rows_pad + 2H, 128] HBM, fold_in layout of the up input
+    w_ref,       # [n_taps, 128, 128] VMEM: up taps, mrf taps, post taps
+    b_ref,       # [1 + n_convs, 128] VMEM: row 0 = up bias (tiled)
+    out_ref,     # [1, tile, fold] VMEM block: folded audio samples
+    xbuf,
+    sem,
+    *,
+    tile: int,
+    halo: int,
+    n_branches: int,
+    up_qs: tuple,
+    meta: tuple,
+    post_qs: tuple,
+    stride: int,
+    fold: int,
+    c_orig: int,
+    acc_dtype,
+):
+    """Fused decoder tail: lrelu → ConvTranspose1d upsample → MRF resblocks
+    → lrelu(0.01) → final conv → tanh, all on one VMEM-resident tile.  The
+    up input (fold/stride × stride·c_orig) and the MRF stage
+    (fold × c_orig) both fill exactly 128 lanes with output rows mapping
+    1:1 to input rows, so every op is a shifted tap-matmul."""
+    b_idx = pl.program_id(0)
+    i = pl.program_id(1)
+    ext = tile + 2 * halo
+    lanes = xbuf.shape[1]
+    fold_in = fold // stride
+    c_in = lanes // fold_in
+
+    dma = pltpu.make_async_copy(x_ref.at[b_idx, pl.ds(i * tile, ext), :], xbuf, sem)
+    dma.start()
+    dma.wait()
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (ext, 1), 0) + i * tile - halo
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ext, lanes), 1)
+    len_out = len_ref[b_idx]
+    pos_in = row * fold_in + lane // c_in
+    mask_in = ((pos_in >= 0) & (pos_in < len_out // stride)).astype(xbuf.dtype)
+    pos = row * fold + lane // c_orig
+    mask = ((pos >= 0) & (pos < len_out)).astype(xbuf.dtype)
+
+    ranges = []
+    t0 = 0
+    for n in [len(up_qs)] + [len(m) for m in meta] + [len(post_qs)]:
+        ranges.append((t0, n))
+        t0 += n
+
+    def taps(xt, ci, qs):
+        tap0 = ranges[ci][0]
+        y = jnp.zeros((ext, lanes), jnp.float32)
+        for off, q in enumerate(qs):
+            y = y + jnp.dot(
+                _shift(xt, q, ext), w_ref[tap0 + off],
+                preferred_element_type=jnp.float32,
+            )
+        return y
+
+    # upsample: lrelu on the (already masked) input, phase tap-matmuls, bias
+    xin = _lrelu(xbuf[:]) * mask_in
+    x0 = ((taps(xin, 0, up_qs) + b_ref[0]).astype(xbuf.dtype)) * mask
+
+    acc = jnp.zeros((ext, lanes), jnp.float32)
+    convs_per_branch = len(meta) // n_branches
+    conv_idx = 0
+    for _br in range(n_branches):
+        xb = x0
+        for _pair in range(convs_per_branch // 2):
+            xt = _lrelu(xb) * mask
+            y = taps(xt, 1 + conv_idx, meta[conv_idx])
+            xt = _lrelu((y + b_ref[1 + conv_idx]).astype(xb.dtype)) * mask
+            conv_idx += 1
+            y2 = taps(xt, 1 + conv_idx, meta[conv_idx])
+            xb = xb + (y2 + b_ref[1 + conv_idx]).astype(xb.dtype)
+            conv_idx += 1
+        acc = acc + (xb * mask).astype(jnp.float32)
+
+    # final activation uses torch's default slope 0.01 (models.py:287), then
+    # the bias-free conv_post and tanh (models.py:288-291)
+    ym = _lrelu((acc / n_branches).astype(xbuf.dtype), slope=0.01)
+    audio = jnp.tanh(taps(ym, 1 + conv_idx, post_qs))
+    out_ref[0] = audio[halo: halo + tile, : out_ref.shape[-1]].astype(acc_dtype)
+
+
+@partial(jax.jit, static_argnames=(
+    "kernel_sizes", "dilation_sizes", "stride", "fold", "up_qs", "mrf_meta",
+    "post_qs", "interpret",
+))
+def fused_tail_stage(
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    w_all: jnp.ndarray,
+    b_all: jnp.ndarray,
+    *,
+    kernel_sizes: tuple,
+    dilation_sizes: tuple,
+    stride: int,
+    fold: int,
+    up_qs: tuple,
+    mrf_meta: tuple,
+    post_qs: tuple,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused decoder tail.  x: [B, T_in, C_in] input of the last upsample
+    (after the previous MRF stage); lengths: [B] true OUTPUT sample counts
+    (= input lengths · stride).  Returns [B, T_in · stride, 1] audio.
+
+    Weights from pack_tail_weights with the same static metadata.  The
+    XLA-path equivalent (nn/hifigan.py) runs lrelu → conv_transpose1d →
+    mask → 3 ResBlocks (mean) → lrelu(0.01) → conv_post → tanh; at
+    C_out < 128 those ops are lane-starved (a [T, 1]-shaped conv_post
+    output uses 1 of 128 lanes) and cost ~1.2 ms of the 6.8 ms serving
+    decoder on v5e — fused and folded they are ~0.1 ms of matmuls.
+    """
+    b, t_in, c_in = x.shape
+    fold_in = fold // stride
+    lanes = fold_in * c_in
+    assert lanes == 128, "tail fusion requires the folded input to fill 128 lanes"
+    c_orig = c_in // stride
+
+    t_f = -(-t_in // fold_in) * fold_in
+    if t_f != t_in:
+        x = jnp.pad(x, ((0, 0), (0, t_f - t_in), (0, 0)))
+    xf = x.reshape(b, t_f // fold_in, lanes)
+    rows = xf.shape[1]
+
+    halo = (
+        folded_stage_halo(kernel_sizes, dilation_sizes, fold)
+        + max(abs(q) for q in up_qs)
+        + max(abs(q) for q in post_qs)
+    )
+    halo = -(-halo // 4) * 4
+    tile = _tile_rows(128)
+    n_tiles = -(-rows // tile)
+    rows_pad = n_tiles * tile
+    x_hbm = jnp.pad(xf, ((0, 0), (halo, halo + (rows_pad - rows)), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, fold), lambda i, j, len_ref: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * halo, 128), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        partial(
+            _tail_kernel,
+            tile=tile,
+            halo=halo,
+            n_branches=len(kernel_sizes),
+            up_qs=up_qs,
+            meta=mrf_meta,
+            post_qs=post_qs,
+            stride=stride,
+            fold=fold,
+            c_orig=c_orig,
+            acc_dtype=x.dtype,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, rows_pad, fold), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), x_hbm, w_all, b_all)
+    return out[:, :rows, :].reshape(b, rows * fold, 1)[:, : t_in * stride]

@@ -55,6 +55,9 @@ class ConvertBatcher:
         self.params = params
         self.cfg = cfg
         self.fast = fast
+        # pre-packed fused-decoder weights keep inline packing out of the
+        # serving graph (models/synthesizer.py::make_dec_cache)
+        self.dec_cache = S.make_dec_cache(params, cfg) if fast else None
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._q: queue.Queue[ConvertRequest | None] = queue.Queue()
@@ -137,7 +140,7 @@ class ConvertBatcher:
                 audio, _ = S.voice_conversion_jit(
                     self.params, cfg, jnp.asarray(spec), jnp.asarray(lengths),
                     jnp.asarray(g_src), jnp.asarray(g_tgt), jnp.asarray(taus),
-                    jnp.asarray(noise), fast=self.fast,
+                    jnp.asarray(noise), fast=self.fast, dec_cache=self.dec_cache,
                 )
                 audio = np.asarray(audio)
             dt = time.perf_counter() - t0

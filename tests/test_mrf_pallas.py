@@ -118,3 +118,54 @@ def test_streamed_weights_match_xla():
         )
     )
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_tail_matches_xla():
+    """Fused decoder tail (lrelu → ConvTranspose1d → MRF → lrelu(0.01) →
+    conv_post → tanh) vs the unfused XLA ops, shipped V2 tail shape
+    (u=2, k_up=4, C 64→32, fold 4)."""
+    from openvoice_tpu.nn.conv import conv1d, conv_transpose1d
+    from openvoice_tpu.ops.mrf_pallas import fused_tail_stage, pack_tail_weights
+
+    c_in, c_out, u, k_up = 64, 32, 2, 4
+    t_in = 640
+    rng = np.random.default_rng(5)
+    resblocks = _random_resblocks(rng, c_out)
+    up = {
+        "w": jnp.asarray(rng.standard_normal((k_up, c_in, c_out)).astype(np.float32)) * 0.1,
+        "b": jnp.asarray(rng.standard_normal(c_out).astype(np.float32)) * 0.1,
+    }
+    post_w = jnp.asarray(rng.standard_normal((7, c_out, 1)).astype(np.float32)) * 0.1
+
+    b = 2
+    x = jnp.asarray(rng.standard_normal((b, t_in, c_in)).astype(np.float32)) * 0.5
+    lengths_in = jnp.asarray([t_in, t_in - 111], jnp.int32)
+    mask_in = (jnp.arange(t_in)[None, :, None] < lengths_in[:, None, None]).astype(jnp.float32)
+    x = x * mask_in
+
+    # XLA reference: exactly the apply_generator tail sequence
+    xt = jax.nn.leaky_relu(x, 0.1)
+    y = conv_transpose1d(xt, up["w"], up["b"], stride=u, padding=(k_up - u) // 2)
+    mask = jnp.repeat(mask_in, u, axis=1)
+    y = y * mask
+    acc = None
+    for rb, d in zip(resblocks, DILS):
+        r = apply_resblock1(rb, y, d, mask)
+        acc = r if acc is None else acc + r
+    z = jax.nn.leaky_relu(acc / len(resblocks), 0.01)
+    ref = np.asarray(jnp.tanh(conv1d(z, post_w, None, padding=3)))
+
+    fold = 128 // c_out
+    w_all, b_all, up_qs, mrf_meta, post_qs = pack_tail_weights(
+        up, resblocks, post_w, KS, DILS,
+        stride=u, up_padding=(k_up - u) // 2, fold=fold, dtype=jnp.float32,
+    )
+    out = np.asarray(
+        fused_tail_stage(
+            x, lengths_in * u, w_all, b_all,
+            kernel_sizes=KS, dilation_sizes=DILS, stride=u, fold=fold,
+            up_qs=up_qs, mrf_meta=mrf_meta, post_qs=post_qs, interpret=True,
+        )
+    )
+    assert out.shape == (b, t_in * u, 1)
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
