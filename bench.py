@@ -65,12 +65,13 @@ def main() -> None:
 
     chain(2)  # warm up compiles (convert graph + chain glue)
     short, long_ = 8, 32
-    # best-of-N slopes: the remote-dispatch tunnel adds run-to-run jitter that
-    # only inflates times, so the minimum slope is the honest estimate
-    dt = min(
-        max((chain(long_) - chain(short)) / (long_ - short), 1e-9)
-        for _ in range(3)
+    # median-of-5 slopes: the remote-dispatch tunnel occasionally hiccups for
+    # whole seconds in either direction (a slow `chain(short)` makes the slope
+    # negative), so neither min nor mean is robust — the median is
+    slopes = sorted(
+        (chain(long_) - chain(short)) / (long_ - short) for _ in range(5)
     )
+    dt = max(slopes[len(slopes) // 2], 1e-9)
 
     audio_seconds = batch * t_frames * cfg.hop_length / cfg.sampling_rate
     value = audio_seconds / dt

@@ -40,10 +40,16 @@ PEAKS = {
 }
 
 
-def chain_slope(step, carry, readback, short: int = 4, long_: int = 16) -> float:
+def chain_slope(step, carry, readback, short: int = 8, long_: int = 40,
+                reps: int = 5) -> float:
     """Seconds per iteration of `step` (carry → carry), measured as the slope
     between a short and a long serially-dependent chain so constant dispatch
-    and readback costs cancel."""
+    and readback costs cancel.  Median of `reps` slopes: the remote-dispatch
+    tunnel occasionally hiccups for whole seconds in either direction (a slow
+    short chain makes an individual slope negative), so neither min nor mean
+    is robust.  (Verified: identical-value chains time the same as evolving
+    ones, so there is no result memoization to guard against — any serial
+    dependency through the carry is sufficient.)"""
 
     def run(k: int) -> float:
         c = carry
@@ -54,9 +60,8 @@ def chain_slope(step, carry, readback, short: int = 4, long_: int = 16) -> float
         return time.perf_counter() - t0
 
     run(2)  # warm compiles
-    t_s = run(short)
-    t_l = run(long_)
-    return max((t_l - t_s) / (long_ - short), 1e-9)
+    slopes = sorted((run(long_) - run(short)) / (long_ - short) for _ in range(reps))
+    return max(slopes[len(slopes) // 2], 1e-9)
 
 
 def cost_of(jitted, *args) -> tuple[float, float]:
@@ -201,17 +206,20 @@ def main() -> None:
     report("hifigan_dec_f32", dt, fl, by, peak_f32, peak_bw,
            {"audio_s_per_s": round(audio_s / dt, 1)})
 
-    # --- full convert graph, serving mode ---------------------------------
+    # --- full convert graph, serving mode (pre-packed dec_cache) -----------
     convert = jax.jit(S.voice_conversion, static_argnames=("cfg", "fast"))
+    dec_cache = S.make_dec_cache(params, cfg)
     lengths = jnp.asarray([t] * b, jnp.int32)
 
     def conv_step(n):
-        audio, _ = convert(params, cfg, spec32, lengths, g, g, 0.3, n, fast=True)
+        audio, _ = convert(params, cfg, spec32, lengths, g, g, 0.3, n,
+                           fast=True, dec_cache=dec_cache)
         return z0 + 1e-9 * jnp.mean(audio)
 
     dt = chain_slope(conv_step, z0, lambda n: float(jnp.sum(n)))
     fl, by = cost_of(
-        jax.jit(lambda n: convert(params, cfg, spec32, lengths, g, g, 0.3, n, fast=True)), z0
+        jax.jit(lambda n: convert(params, cfg, spec32, lengths, g, g, 0.3, n,
+                                  fast=True, dec_cache=dec_cache)), z0
     )
     report("convert_e2e_fast", dt, fl, by, peak_bf16, peak_bw,
            {"audio_s_per_s": round(audio_s / dt, 1)})

@@ -67,7 +67,9 @@ def _tile_rows(c_pad: int) -> int:
     """Rows per grid step (multiple of 8 sublanes).  Wider-than-128-lane
     stages halve the tile: Mosaic's scoped-VMEM stack holds several f32
     [ext, c_pad] temporaries of the unrolled tap-matmul chain, and at
-    c_pad=256 the 1024-row tile blows the 16 MB limit."""
+    c_pad=256 large tiles blow the 16 MB limit.  (2048-row tiles for the
+    128-lane stages were tried: halo overhead drops 12%→6% but VMEM pressure
+    degrades the in/out block pipelining — net ~8% slower.)"""
     return 1024 if c_pad <= 128 else 512
 
 
@@ -331,13 +333,19 @@ def _mrf_kernel(
     stream: bool,
 ):
     if stream:
-        xbuf, sem, wbuf, wsem = scratch
+        xbuf, xsl, sem, wbuf, wsem = scratch
     else:
-        xbuf, sem = scratch
+        xbuf, xsl, sem = scratch
     b_idx = pl.program_id(0)
     i = pl.program_id(1)
     ext = tile + 2 * halo
     lanes = xbuf.shape[1]
+
+    # zero the slack margins once per tile: tap slices read them as the
+    # 'same'-conv zero padding (contamination stays inside the halo margin,
+    # same argument as the roll formulation this replaces)
+    xsl[:halo, :] = jnp.zeros((halo, lanes), xsl.dtype)
+    xsl[halo + ext:, :] = jnp.zeros((halo, lanes), xsl.dtype)
 
     dma = pltpu.make_async_copy(
         x_ref.at[b_idx, pl.ds(i * tile, ext), :], xbuf, sem
@@ -380,10 +388,12 @@ def _mrf_kernel(
         w_dma(0, 0).start()
 
     def conv(xt, ci, shifts):
-        # accumulating tap-matmuls.  (A lane-concat variant — [E, k·C] ×
-        # [k·C, C] in one matmul — was tried and abandoned: Mosaic takes
-        # 20+ min to compile the wide concats at production shapes, an
-        # unacceptable per-bucket serving cost.)
+        # accumulating tap-matmuls off the slack buffer: one store of xt,
+        # then per-tap STATIC slices — cheaper than per-tap rolls, which
+        # also round-trip bf16 through f32.  (A lane-concat variant —
+        # [E, k·C] × [k·C, C] in one matmul — was tried and abandoned:
+        # Mosaic takes 20+ min to compile the wide concats at production
+        # shapes, an unacceptable per-bucket serving cost.)
         if stream:
             # double-buffered per-conv weight slice HBM→VMEM: start the next
             # conv's copy, then wait on this one.  Program order already
@@ -395,10 +405,11 @@ def _mrf_kernel(
             weights, base = wbuf.at[ci % 2], 0
         else:
             weights, base = w_ref, ranges[ci][0]
+        xsl[halo: halo + ext, :] = xt
         y = jnp.zeros((ext, xt.shape[1]), jnp.float32)
         for off, s in enumerate(shifts):
             y = y + jnp.dot(
-                _shift(xt, s, ext), weights[base + off],
+                xsl[halo + s: halo + s + ext, :], weights[base + off],
                 preferred_element_type=jnp.float32,
             )
         return y
@@ -474,6 +485,7 @@ def fused_mrf_stage(
 
     scratch = [
         pltpu.VMEM((tile + 2 * halo, c_pad), x.dtype),
+        pltpu.VMEM((tile + 4 * halo, c_pad), x.dtype),  # slack buffer for tap slices
         pltpu.SemaphoreType.DMA,
     ]
     if stream:
@@ -525,6 +537,7 @@ def _tail_kernel(
     b_ref,       # [1 + n_convs, 128] VMEM: row 0 = up bias (tiled)
     out_ref,     # [1, tile, fold] VMEM block: folded audio samples
     xbuf,
+    xsl,
     sem,
     *,
     tile: int,
@@ -554,6 +567,10 @@ def _tail_kernel(
     dma.start()
     dma.wait()
 
+    # slack margins = the 'same'-conv zero padding for the static tap slices
+    xsl[:halo, :] = jnp.zeros((halo, lanes), xsl.dtype)
+    xsl[halo + ext:, :] = jnp.zeros((halo, lanes), xsl.dtype)
+
     row = jax.lax.broadcasted_iota(jnp.int32, (ext, 1), 0) + i * tile - halo
     lane = jax.lax.broadcasted_iota(jnp.int32, (ext, lanes), 1)
     len_out = len_ref[b_idx]
@@ -570,10 +587,11 @@ def _tail_kernel(
 
     def taps(xt, ci, qs):
         tap0 = ranges[ci][0]
+        xsl[halo: halo + ext, :] = xt
         y = jnp.zeros((ext, lanes), jnp.float32)
         for off, q in enumerate(qs):
             y = y + jnp.dot(
-                _shift(xt, q, ext), w_ref[tap0 + off],
+                xsl[halo + q: halo + q + ext, :], w_ref[tap0 + off],
                 preferred_element_type=jnp.float32,
             )
         return y
@@ -670,6 +688,7 @@ def fused_tail_stage(
         ),
         scratch_shapes=[
             pltpu.VMEM((tile + 2 * halo, 128), x.dtype),
+            pltpu.VMEM((tile + 4 * halo, 128), x.dtype),  # slack buffer
             pltpu.SemaphoreType.DMA,
         ],
     )
