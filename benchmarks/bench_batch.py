@@ -70,6 +70,7 @@ def main() -> None:
         groups.append((round_up_to_bucket(t_max), [lengths[j] for j in idx]))
 
     convert = jax.jit(S.voice_conversion, static_argnames=("cfg", "fast"))
+    dec_cache = S.make_dec_cache(params, cfg) if fast else None
 
     def make_inputs(bucket: int, lens: list[int]):
         b = len(lens)
@@ -87,7 +88,8 @@ def main() -> None:
     # tier likewise keeps specs on-device; host RNG is not part of the model)
     group_inputs = [make_inputs(bucket, lens) for bucket, lens in groups]
     for spec, ls, g, noise in group_inputs:  # warm up each program
-        audio, _ = convert(params, cfg, spec, ls, g, g, 0.3, noise, fast=fast)
+        audio, _ = convert(params, cfg, spec, ls, g, g, 0.3, noise, fast=fast,
+                           dec_cache=dec_cache)
         jax.block_until_ready(audio)
 
     def run_all(k: int) -> float:
@@ -99,15 +101,16 @@ def main() -> None:
         for _ in range(k):
             for spec, ls, g, noise in group_inputs:
                 audio, _ = convert(
-                    params, cfg, spec, ls, g, g, 0.3, noise + 1e-9 * carry, fast=fast
+                    params, cfg, spec, ls, g, g, 0.3, noise + 1e-9 * carry,
+                    fast=fast, dec_cache=dec_cache,
                 )
                 carry = jnp.mean(audio).astype(jnp.float32)
         float(carry)
         return time.perf_counter() - t0
 
     run_all(1)
-    t1, t3 = run_all(1), run_all(3)
-    dt = max((t3 - t1) / 2, 1e-9)
+    slopes = sorted((run_all(3) - run_all(1)) / 2 for _ in range(5))
+    dt = max(slopes[len(slopes) // 2], 1e-9)
 
     real_frames = sum(lengths)
     padded_frames = sum(bk * len(ls) for bk, ls in groups)

@@ -243,6 +243,54 @@ class ToneColorConverter(OpenVoiceBaseClass):
         write_wav(output_path, audio_out, cfg.sampling_rate)
         return None
 
+    def convert_streaming(
+        self,
+        audio_src_path,
+        src_se,
+        tgt_se,
+        output_path: str | None = None,
+        tau: float = 0.3,
+        message: str = "default",
+        seed: int = 0,
+        fast: bool = True,
+        chunk_frames: int = 896,
+    ):
+        """Constant-memory conversion for arbitrarily long recordings: the
+        spectrogram streams through one fixed-shape compiled graph in
+        halo-extended chunks (runtime/streaming.py), bit-equal to convert()
+        up to float roundoff.  The reference has no equivalent — it decodes
+        whole utterances in one pass (api.py:150-154) and runs out of
+        memory on long audio."""
+        cfg = self.cfg
+        params = self._require_params()
+        if isinstance(audio_src_path, (str, os.PathLike)):
+            audio, _ = load_audio(str(audio_src_path), sr=cfg.sampling_rate)
+        else:
+            audio = np.asarray(audio_src_path, np.float32)
+        padded, n_frames = _spec_from_audio(audio, cfg)
+        spec = np.asarray(
+            _spec_btf(jnp.asarray(padded)[None], cfg.filter_length, cfg.hop_length,
+                      cfg.win_length)
+        )
+        noise = jax.random.normal(
+            jax.random.PRNGKey(seed), (1, n_frames, cfg.inter_channels), jnp.float32
+        )
+        from openvoice_tpu.runtime.streaming import voice_conversion_streaming
+
+        out = voice_conversion_streaming(
+            params, cfg, spec[:, :n_frames], np.asarray([n_frames]),
+            self._as_g(src_se), self._as_g(tgt_se), float(tau), np.asarray(noise),
+            chunk_frames=chunk_frames, fast=fast,
+            dec_cache=self._require_dec_cache() if fast else None,
+        )
+        audio_out = out[0, : n_frames * cfg.upsample_factor, 0]
+        if self.enable_watermark and message:
+            audio_out = self.add_watermark(audio_out, message)
+        if output_path is None:
+            return audio_out
+        write_wav(output_path, audio_out, cfg.sampling_rate)
+        return None
+
     def _as_g(self, se) -> jnp.ndarray:
         se = np.asarray(se, np.float32)
         if se.ndim == 3:  # [1, gin, 1] reference layout

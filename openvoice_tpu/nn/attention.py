@@ -42,8 +42,13 @@ def multi_head_attention(
     attn_mask: jnp.ndarray | None,
     n_heads: int,
     window_size: int | None = None,
+    proximal_bias: bool = False,
 ) -> jnp.ndarray:
-    """x (queries): [B, T, C]; c (keys/values): [B, S, C]."""
+    """x (queries): [B, T, C]; c (keys/values): [B, S, C].
+
+    proximal_bias adds −log1p(|t−s|) to the self-attention scores
+    (attentions.py:398-407) — an option of the reference's Decoder stack.
+    """
     b, t, channels = x.shape
     s = c.shape[1]
     dk = channels // n_heads
@@ -74,6 +79,12 @@ def multi_head_attention(
         )
         scores = scores + jnp.where(jnp.asarray(valid)[None, None], gathered, 0.0)
 
+    if proximal_bias:
+        assert t == s, "proximal bias requires self-attention"
+        pos = jnp.arange(t, dtype=jnp.float32)
+        diff = pos[None, :] - pos[:, None]
+        scores = scores + (-jnp.log1p(jnp.abs(diff)))[None, None].astype(scores.dtype)
+
     if attn_mask is not None:
         scores = jnp.where(attn_mask == 0, -1e4, scores)
 
@@ -95,17 +106,21 @@ def multi_head_attention(
     return linear(out, params["o"]["w"], params["o"]["b"])
 
 
-def apply_ffn(params: dict, x: jnp.ndarray, x_mask: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+def apply_ffn(params: dict, x: jnp.ndarray, x_mask: jnp.ndarray, kernel_size: int,
+              causal: bool = False) -> jnp.ndarray:
     """Conv FFN with torch-style asymmetric same padding
-    (attentions.py:439-465): pad_l=(k-1)//2, pad_r=k//2."""
-    def pad_same(z):
+    (attentions.py:439-465): pad_l=(k-1)//2, pad_r=k//2; causal=True pads
+    (k-1, 0) — the Decoder-stack option (attentions.py:424-431)."""
+    def pad(z):
         if kernel_size == 1:
             return z
+        if causal:
+            return jnp.pad(z, ((0, 0), (kernel_size - 1, 0), (0, 0)))
         return jnp.pad(z, ((0, 0), ((kernel_size - 1) // 2, kernel_size // 2), (0, 0)))
 
-    x = conv1d(pad_same(x * x_mask), params["conv1"]["w"], params["conv1"]["b"])
+    x = conv1d(pad(x * x_mask), params["conv1"]["w"], params["conv1"]["b"])
     x = jax.nn.relu(x)
-    x = conv1d(pad_same(x * x_mask), params["conv2"]["w"], params["conv2"]["b"])
+    x = conv1d(pad(x * x_mask), params["conv2"]["w"], params["conv2"]["b"])
     return x * x_mask
 
 

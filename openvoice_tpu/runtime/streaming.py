@@ -1,0 +1,105 @@
+"""Blockwise streaming conversion — constant memory for unbounded audio.
+
+SURVEY.md §5.7(c): the reference converts a whole utterance in one pass
+(api.py:150-154), so activation memory grows with length — O(T·256 samples)
+inside the HiFi-GAN upsampler — and a single chip caps out.  Sequence
+parallelism (runtime/sequence_parallel.py) removes the cap by sharding time
+across chips; this module removes it on ONE chip by streaming fixed-size
+chunks through one compiled graph.
+
+Every stage of the convert graph is a finite-receptive-field conv stack, so
+a chunk extended by ``halo ≥ required_halo(cfg)`` frames on each side
+(≈114 frames for the shipped configs) decodes **bit-identically** to the
+full-utterance graph: interior chunks see the same neighbor frames, edge
+chunks see the same zero padding, and the per-chunk mask is rebuilt from
+global frame positions so per-layer masking matches everywhere.  The noise
+tensor is sliced from one full-length array at the same global positions,
+keeping the stochastic path identical too.
+
+One jitted graph of shape [B, halo + chunk + halo] serves every chunk —
+compile once, stream forever; peak device memory is O(chunk), independent
+of utterance length.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from openvoice_tpu.config import SynthesizerConfig
+from openvoice_tpu.models.synthesizer import voice_conversion_masked
+from openvoice_tpu.runtime.sequence_parallel import required_halo
+
+
+@partial(jax.jit, static_argnames=("cfg", "fast", "halo", "chunk_frames"))
+def _run_chunk(params, dec_cache, cfg, spec_ext, mask_ext, noise_ext,
+               g_src, g_tgt, tau, *, fast, halo, chunk_frames):
+    up = cfg.upsample_factor
+    audio = voice_conversion_masked(
+        params, cfg, spec_ext, mask_ext, g_src, g_tgt, tau, noise_ext,
+        fast=fast, dec_cache=dec_cache,
+    )
+    return audio[:, halo * up: (halo + chunk_frames) * up]
+
+
+def voice_conversion_streaming(
+    params: dict,
+    cfg: SynthesizerConfig,
+    spec,
+    spec_lengths,
+    g_src,
+    g_tgt,
+    tau: float,
+    noise,
+    *,
+    chunk_frames: int = 896,
+    halo: int | None = None,
+    fast: bool = False,
+    dec_cache: dict | None = None,
+) -> np.ndarray:
+    """Convert an arbitrarily long spectrogram in fixed-size chunks.
+
+    spec: [B, T, n_freq]; spec_lengths: [B]; noise: [B, T, inter] (the same
+    standard-normal tensor the one-shot path would use); returns audio
+    [B, T·upsample, 1] equal to voice_conversion() up to float roundoff.
+    """
+    spec = np.asarray(spec, np.float32)
+    noise = np.asarray(noise, np.float32)
+    lengths = np.asarray(spec_lengths, np.int32)
+    b, t, n_freq = spec.shape
+    if halo is None:
+        halo = required_halo(cfg)
+    up = cfg.upsample_factor
+    ext = chunk_frames + 2 * halo
+
+    g_src = jnp.asarray(g_src)
+    g_tgt = jnp.asarray(g_tgt)
+    n_chunks = -(-t // chunk_frames)
+    pieces = []
+    for ci in range(n_chunks):
+        start = ci * chunk_frames - halo
+        # window [start, start + ext) of the global frame axis, zero-padded
+        # outside [0, t) — identical to the implicit zero padding the
+        # one-shot graph's 'SAME' convs see at the sequence edges
+        window = np.zeros((b, ext, n_freq), np.float32)
+        nwin = np.zeros((b, ext, noise.shape[-1]), np.float32)
+        lo, hi = max(start, 0), min(start + ext, t)
+        if hi > lo:
+            window[:, lo - start: hi - start] = spec[:, lo:hi]
+            nwin[:, lo - start: hi - start] = noise[:, lo:hi]
+        pos = start + np.arange(ext)
+        mask = (pos[None, :] >= 0) & (pos[None, :] < lengths[:, None])
+        pieces.append(np.asarray(_run_chunk(
+            params, dec_cache, cfg,
+            jnp.asarray(window),
+            jnp.asarray(mask.astype(np.float32))[..., None],
+            jnp.asarray(nwin),
+            g_src, g_tgt, tau,
+            fast=fast, halo=halo, chunk_frames=chunk_frames,
+        )))
+    audio = np.concatenate(pieces, axis=1)
+    return audio[:, : t * up]

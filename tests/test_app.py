@@ -113,3 +113,30 @@ def test_http_roundtrip(app, ref_wav):
         assert out["wav_b64"].startswith("UklGR")  # RIFF header in b64
     finally:
         httpd.shutdown()
+
+
+def test_convert_streaming_api(tmp_path):
+    """convert_streaming == convert (same seed/tau) for a short clip, runs
+    through the same watermark path."""
+    import numpy as np
+
+    from openvoice_tpu.api import ToneColorConverter
+    from openvoice_tpu.config import SynthesizerConfig
+
+    cfg = SynthesizerConfig(
+        n_speakers=0, zero_g=True, spec_channels=129, filter_length=256,
+        hop_length=64, win_length=256, inter_channels=64, hidden_channels=64,
+        upsample_initial_channel=128, upsample_rates=(4, 4, 2, 2),
+        upsample_kernel_sizes=(8, 8, 4, 4), gin_channels=64, sampling_rate=16000,
+    )
+    conv = ToneColorConverter(cfg=cfg, enable_watermark=False)
+    conv.init_random()
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    se = rng.standard_normal(cfg.gin_channels).astype(np.float32)
+
+    one_shot = conv.convert(audio, se, se * 0.5, tau=0.3, message="", seed=5)
+    streamed = conv.convert_streaming(audio, se, se * 0.5, tau=0.3, message="",
+                                      seed=5, fast=False, chunk_frames=64)
+    n = min(len(one_shot), len(streamed))
+    np.testing.assert_allclose(streamed[:n], one_shot[:n], atol=2e-5, rtol=1e-4)

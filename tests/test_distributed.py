@@ -70,3 +70,27 @@ def test_sequence_parallel_rejects_short_shards(setup):
             params, TINY, spec[:, :64], lens, g_src, g_tgt, 0.3, noise[:, :64],
             mesh=mesh, axis="model", halo=60,
         )
+
+
+def test_streaming_matches_one_shot():
+    """Blockwise streaming conversion (runtime/streaming.py) must equal the
+    one-shot graph: interior chunks see identical neighbor frames, edge
+    chunks identical zero padding, noise sliced at global positions."""
+    from openvoice_tpu.runtime.streaming import voice_conversion_streaming
+
+    rng = np.random.default_rng(11)
+    B, T = 2, 200
+    params = S.init_synthesizer(jax.random.PRNGKey(0), TINY)
+    spec = jnp.asarray(np.abs(rng.standard_normal((B, T, TINY.spec_channels))).astype(np.float32))
+    g_src = jnp.asarray(rng.standard_normal((B, 1, TINY.gin_channels)).astype(np.float32) * 0.2)
+    g_tgt = jnp.asarray(rng.standard_normal((B, 1, TINY.gin_channels)).astype(np.float32) * 0.2)
+    noise = jnp.asarray(rng.standard_normal((B, T, TINY.inter_channels)).astype(np.float32))
+    lens = jnp.asarray([T, T - 57], jnp.int32)
+
+    ref, _ = S.voice_conversion(params, TINY, spec, lens, g_src, g_tgt, 0.3, noise)
+    h = SP.required_halo(TINY)
+    got = voice_conversion_streaming(
+        params, TINY, spec, lens, g_src, g_tgt, 0.3, noise,
+        chunk_frames=64, halo=h,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
