@@ -105,20 +105,20 @@ def pack_generator_caches(
         rbs = [params["resblocks"][i * num_kernels + j] for j in range(num_kernels)]
         kernel_sizes = tuple(rb["convs1"][0]["w"].shape[0] for rb in rbs)
         pad_up = (k_up - u) // 2
+        is_last = i == len(upsample_rates) - 1
         fold_tail = 128 // c_stage if c_stage and 128 % c_stage == 0 else 0
         if (
-            i == len(upsample_rates) - 1
-            and fold_tail
+            fold_tail
             and fold_tail % u == 0
             and (fold_tail // u) * c_in == 128
             and k_up - u - 2 * pad_up == 0
         ):
             w_all, b_all, _, _, _ = pack_tail_weights(
-                up, rbs, params["conv_post"]["w"], kernel_sizes,
-                resblock_dilation_sizes, stride=u, up_padding=pad_up,
-                fold=fold_tail, dtype=dtype, host=True,
+                up, rbs, params["conv_post"]["w"] if is_last else None,
+                kernel_sizes, resblock_dilation_sizes, stride=u,
+                up_padding=pad_up, fold=fold_tail, dtype=dtype, host=True,
             )
-            caches["tail"] = {"w": w_all, "b": b_all}
+            caches["tail" if is_last else f"upmrf{i}"] = {"w": w_all, "b": b_all}
         elif c_stage >= 128 or (c_stage and 128 % c_stage == 0):
             fold = 1 if c_stage >= 128 else 128 // c_stage
             w_all, b_all, _ = pack_stage_weights(
@@ -173,61 +173,74 @@ def apply_generator(
     )
     for i, (u, k_up) in enumerate(zip(upsample_rates, upsample_kernel_sizes)):
         up = params["ups"][i]
-        if use_fused and i == len(upsample_rates) - 1:
-            # whole decoder tail (lrelu → upsample → MRF → lrelu(0.01) →
-            # conv_post → tanh) as one Pallas kernel when the folded layouts
-            # fill the 128 lanes exactly (ops/mrf_pallas.py::fused_tail_stage)
+        is_last = i == len(upsample_rates) - 1
+        c_in = x.shape[-1]
+        c_out_up = up["w"].shape[2]
+        fold = 128 // c_out_up if c_out_up and 128 % c_out_up == 0 else 0
+        pad_up = (k_up - u) // 2
+        up_fusable = (
+            use_fused
+            and fold
+            and fold % u == 0
+            and (fold // u) * c_in == 128
+            and k_up - u - 2 * pad_up == 0
+        )
+        if up_fusable:
+            # lrelu → upsample → MRF [→ lrelu(0.01) → conv_post → tanh on the
+            # last stage] as one Pallas kernel: the fold_in input layout and
+            # the fold_out MRF layout both fill 128 lanes with 1:1 rows
+            # (ops/mrf_pallas.py::fused_tail_stage)
             from openvoice_tpu.ops.mrf_pallas import fused_tail_stage, pack_tail_weights
 
-            c_in = x.shape[-1]
-            c_out = up["w"].shape[2]
-            fold = 128 // c_out if c_out and 128 % c_out == 0 else 0
-            pad_up = (k_up - u) // 2
-            if (
-                fold
-                and fold % u == 0
-                and (fold // u) * c_in == 128
-                and k_up - u - 2 * pad_up == 0
-            ):
-                kernel_sizes = tuple(
-                    params["resblocks"][i * num_kernels + j]["convs1"][0]["w"].shape[0]
-                    for j in range(num_kernels)
+            kernel_sizes = tuple(
+                params["resblocks"][i * num_kernels + j]["convs1"][0]["w"].shape[0]
+                for j in range(num_kernels)
+            )
+            post_w = params["conv_post"]["w"] if is_last else None
+            key = "tail" if is_last else f"upmrf{i}"
+            if packed is not None and key in packed:
+                from openvoice_tpu.ops.mrf_pallas import (
+                    fold_post_taps,
+                    fold_transpose_taps,
+                    stage_meta,
                 )
-                if packed is not None and "tail" in packed:
-                    from openvoice_tpu.ops.mrf_pallas import (
-                        fold_post_taps,
-                        fold_transpose_taps,
-                        stage_meta,
-                    )
 
-                    w_all = packed["tail"]["w"].astype(x.dtype)
-                    b_all = packed["tail"]["b"].astype(x.dtype)
-                    up_qs = tuple(fold_transpose_taps(k_up, u, pad_up, fold // u)[0])
-                    mrf_meta = stage_meta(kernel_sizes, resblock_dilation_sizes, fold)
-                    post_qs = tuple(fold_post_taps(params["conv_post"]["w"].shape[0], fold)[0])
-                else:
-                    w_all, b_all, up_qs, mrf_meta, post_qs = pack_tail_weights(
-                        up,
-                        [params["resblocks"][i * num_kernels + j] for j in range(num_kernels)],
-                        params["conv_post"]["w"],
-                        kernel_sizes,
-                        resblock_dilation_sizes,
-                        stride=u,
-                        up_padding=pad_up,
-                        fold=fold,
-                        dtype=x.dtype,
-                    )
-                if x_mask is not None:
-                    lengths = jnp.sum(x_mask[:, :, 0].astype(jnp.int32), axis=1) * u
-                else:
-                    lengths = jnp.full((x.shape[0],), x.shape[1] * u, jnp.int32)
-                return fused_tail_stage(
-                    x, lengths, w_all, b_all,
-                    kernel_sizes=kernel_sizes,
-                    dilation_sizes=tuple(tuple(d) for d in resblock_dilation_sizes),
-                    stride=u, fold=fold,
-                    up_qs=up_qs, mrf_meta=mrf_meta, post_qs=post_qs,
+                w_all = packed[key]["w"].astype(x.dtype)
+                b_all = packed[key]["b"].astype(x.dtype)
+                up_qs = tuple(fold_transpose_taps(k_up, u, pad_up, fold // u)[0])
+                mrf_meta = stage_meta(kernel_sizes, resblock_dilation_sizes, fold)
+                post_qs = (
+                    tuple(fold_post_taps(post_w.shape[0], fold)[0]) if is_last else None
                 )
+            else:
+                w_all, b_all, up_qs, mrf_meta, post_qs = pack_tail_weights(
+                    up,
+                    [params["resblocks"][i * num_kernels + j] for j in range(num_kernels)],
+                    post_w,
+                    kernel_sizes,
+                    resblock_dilation_sizes,
+                    stride=u,
+                    up_padding=pad_up,
+                    fold=fold,
+                    dtype=x.dtype,
+                )
+            if x_mask is not None:
+                lengths = jnp.sum(x_mask[:, :, 0].astype(jnp.int32), axis=1) * u
+            else:
+                lengths = jnp.full((x.shape[0],), x.shape[1] * u, jnp.int32)
+            out = fused_tail_stage(
+                x, lengths, w_all, b_all,
+                kernel_sizes=kernel_sizes,
+                dilation_sizes=tuple(tuple(d) for d in resblock_dilation_sizes),
+                stride=u, fold=fold,
+                up_qs=up_qs, mrf_meta=mrf_meta, post_qs=post_qs,
+            )
+            if is_last:
+                return out
+            x = out
+            if x_mask is not None:
+                x_mask = jnp.repeat(x_mask, u, axis=1)
+            continue
         x = _lrelu(x)
         x = conv_transpose1d(x, up["w"], up["b"], stride=u, padding=(k_up - u) // 2)
         if x_mask is not None:

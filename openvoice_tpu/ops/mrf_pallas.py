@@ -240,8 +240,9 @@ def pack_tail_weights(
     (row 0 = upsample bias, tiled).
 
     up: {"w": [k_up, C_in, C_out], "b": [C_out]} pre-flipped ConvTranspose1d
-    params (ckpt/torch_import.py layout); post_w: [k_post, C_out, 1].
-    Returns (w_all, b_all, up_qs, mrf_meta, post_qs).
+    params (ckpt/torch_import.py layout); post_w: [k_post, C_out, 1], or
+    None for a middle-stage up+MRF fusion (no final conv — post_qs returns
+    None).  Returns (w_all, b_all, up_qs, mrf_meta, post_qs).
 
     host=True: numpy packing for one-time cache building (see
     pack_stage_weights).
@@ -279,14 +280,16 @@ def pack_tail_weights(
     w_mrf_list = list(cvt(w_mrf)) if host else list(w_mrf)
     taps.extend(w_mrf_list)
 
-    post_h = cvt(post_w)  # [k_post, C_out, 1]
-    post_qs, placements = fold_post_taps(post_h.shape[0], fold)
-    for placed in placements:
-        taps.append(place(
-            placed,
-            lambda j, b_ph, a: (b_ph * c_out, (b_ph + 1) * c_out,
-                                a, a + 1, post_h[j, :, :1]),
-        ))
+    post_qs = None
+    if post_w is not None:
+        post_h = cvt(post_w)  # [k_post, C_out, 1]
+        post_qs, placements = fold_post_taps(post_h.shape[0], fold)
+        for placed in placements:
+            taps.append(place(
+                placed,
+                lambda j, b_ph, a: (b_ph * c_out, (b_ph + 1) * c_out,
+                                    a, a + 1, post_h[j, :, :1]),
+            ))
 
     up_b = xp.tile(xp.asarray(cvt(up["b"]), dtype), fold)[None]
     if host:
@@ -295,7 +298,9 @@ def pack_tail_weights(
     else:
         b_all = jnp.concatenate([up_b, b_mrf], axis=0)
         w_all = jnp.stack(taps)
-    return w_all, b_all, tuple(up_qs), mrf_meta, tuple(post_qs)
+    return w_all, b_all, tuple(up_qs), mrf_meta, (
+        tuple(post_qs) if post_qs is not None else None
+    )
 
 
 def _lrelu(x, slope=0.1):
@@ -581,7 +586,10 @@ def _tail_kernel(
 
     ranges = []
     t0 = 0
-    for n in [len(up_qs)] + [len(m) for m in meta] + [len(post_qs)]:
+    tap_counts = [len(up_qs)] + [len(m) for m in meta]
+    if post_qs is not None:
+        tap_counts.append(len(post_qs))
+    for n in tap_counts:
         ranges.append((t0, n))
         t0 += n
 
@@ -615,6 +623,10 @@ def _tail_kernel(
             conv_idx += 1
         acc = acc + (xb * mask).astype(jnp.float32)
 
+    if post_qs is None:
+        # up+MRF fusion for a middle stage: emit the folded MRF mean
+        out_ref[0] = (acc / n_branches).astype(acc_dtype)[halo: halo + tile]
+        return
     # final activation uses torch's default slope 0.01 (models.py:287), then
     # the bias-free conv_post and tanh (models.py:288-291)
     ym = _lrelu((acc / n_branches).astype(xbuf.dtype), slope=0.01)
@@ -638,16 +650,21 @@ def fused_tail_stage(
     fold: int,
     up_qs: tuple,
     mrf_meta: tuple,
-    post_qs: tuple,
+    post_qs: tuple | None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused decoder tail.  x: [B, T_in, C_in] input of the last upsample
+    """Fused decoder tail.  x: [B, T_in, C_in] input of an upsample stage
     (after the previous MRF stage); lengths: [B] true OUTPUT sample counts
-    (= input lengths · stride).  Returns [B, T_in · stride, 1] audio.
+    (= input lengths · stride).
+
+    post_qs set (last stage): lrelu → ConvTranspose1d → MRF → lrelu(0.01) →
+    conv_post → tanh — returns [B, T_in·stride, 1] audio.  post_qs=None
+    (middle stage, C_out·fold = 128 and fold % stride == 0): lrelu →
+    ConvTranspose1d → MRF — returns [B, T_in·stride, C_out] activations.
 
     Weights from pack_tail_weights with the same static metadata.  The
     XLA-path equivalent (nn/hifigan.py) runs lrelu → conv_transpose1d →
-    mask → 3 ResBlocks (mean) → lrelu(0.01) → conv_post → tanh; at
+    mask → 3 ResBlocks (mean) [→ lrelu(0.01) → conv_post → tanh]; at
     C_out < 128 those ops are lane-starved (a [T, 1]-shaped conv_post
     output uses 1 of 128 lanes) and cost ~1.2 ms of the 6.8 ms serving
     decoder on v5e — fused and folded they are ~0.1 ms of matmuls.
@@ -667,7 +684,7 @@ def fused_tail_stage(
     halo = (
         folded_stage_halo(kernel_sizes, dilation_sizes, fold)
         + max(abs(q) for q in up_qs)
-        + max(abs(q) for q in post_qs)
+        + (max(abs(q) for q in post_qs) if post_qs is not None else 0)
     )
     halo = -(-halo // 4) * 4
     tile = _tile_rows(128)
@@ -675,6 +692,7 @@ def fused_tail_stage(
     rows_pad = n_tiles * tile
     x_hbm = jnp.pad(xf, ((0, 0), (halo, halo + (rows_pad - rows)), (0, 0)))
 
+    out_w = fold if post_qs is not None else 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_tiles),
@@ -684,7 +702,7 @@ def fused_tail_stage(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile, fold), lambda i, j, len_ref: (i, j, 0), memory_space=pltpu.VMEM
+            (1, tile, out_w), lambda i, j, len_ref: (i, j, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((tile + 2 * halo, 128), x.dtype),
@@ -706,8 +724,10 @@ def fused_tail_stage(
             c_orig=c_orig,
             acc_dtype=x.dtype,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, rows_pad, fold), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, rows_pad, out_w), x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(lengths.astype(jnp.int32), x_hbm, w_all, b_all)
-    return out[:, :rows, :].reshape(b, rows * fold, 1)[:, : t_in * stride]
+    if post_qs is not None:
+        return out[:, :rows, :].reshape(b, rows * fold, 1)[:, : t_in * stride]
+    return out[:, :rows, :].reshape(b, rows * fold, c_orig)[:, : t_in * stride]

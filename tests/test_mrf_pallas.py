@@ -169,3 +169,46 @@ def test_fused_tail_matches_xla():
     )
     assert out.shape == (b, t_in * u, 1)
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_up_mrf_middle_stage_matches_xla():
+    """Middle-stage fusion (post_qs=None): lrelu → ConvTranspose1d → MRF,
+    emitting [B, T·u, C_out] activations."""
+    from openvoice_tpu.nn.conv import conv_transpose1d
+    from openvoice_tpu.ops.mrf_pallas import fused_tail_stage, pack_tail_weights
+
+    c_in, c_out, u, k_up = 128, 64, 2, 4
+    t_in = 400
+    rng = np.random.default_rng(9)
+    resblocks = _random_resblocks(rng, c_out)
+    up = {
+        "w": jnp.asarray(rng.standard_normal((k_up, c_in, c_out)).astype(np.float32)) * 0.1,
+        "b": jnp.asarray(rng.standard_normal(c_out).astype(np.float32)) * 0.1,
+    }
+    b = 2
+    x = jnp.asarray(rng.standard_normal((b, t_in, c_in)).astype(np.float32)) * 0.5
+    lengths_in = jnp.asarray([t_in, t_in - 83], jnp.int32)
+    mask_in = (jnp.arange(t_in)[None, :, None] < lengths_in[:, None, None]).astype(jnp.float32)
+    x = x * mask_in
+
+    xt = jax.nn.leaky_relu(x, 0.1)
+    y = conv_transpose1d(xt, up["w"], up["b"], stride=u, padding=(k_up - u) // 2)
+    mask = jnp.repeat(mask_in, u, axis=1)
+    y = y * mask
+    ref = np.asarray(_xla_mrf(resblocks, y, mask))
+
+    fold = 128 // c_out
+    w_all, b_all, up_qs, mrf_meta, post_qs = pack_tail_weights(
+        up, resblocks, None, KS, DILS,
+        stride=u, up_padding=(k_up - u) // 2, fold=fold, dtype=jnp.float32,
+    )
+    assert post_qs is None
+    out = np.asarray(
+        fused_tail_stage(
+            x, lengths_in * u, w_all, b_all,
+            kernel_sizes=KS, dilation_sizes=DILS, stride=u, fold=fold,
+            up_qs=up_qs, mrf_meta=mrf_meta, post_qs=None, interpret=True,
+        )
+    )
+    assert out.shape == (b, t_in * u, c_out)
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
