@@ -456,15 +456,19 @@ def tts_encode(
     tokens: jnp.ndarray,
     token_lengths: jnp.ndarray,
     sid: jnp.ndarray | None,
-    rng: jax.Array,
+    rng: jax.Array | None,
     noise_scale_w: float = 0.6,
     length_scale: float = 1.0,
     sdp_ratio: float = 0.2,
+    noise_w: jnp.ndarray | None = None,
 ) -> TTSEncodeOut:
     """Text encoder + duration predictors → integral durations
     (first half of models.py:467-482, up to the data-dependent length).
 
     tokens: [B, T_x] int32.  Jittable: output shapes depend only on T_x.
+    noise_w ([B, T_x, 2]) overrides the sdp noise draw — the batched TTS
+    path stacks per-sentence draws so batching reproduces the sequential
+    path exactly.
     """
     t_x = tokens.shape[1]
     x_mask = sequence_mask(token_lengths, t_x)[..., None].astype(jnp.float32)
@@ -487,7 +491,8 @@ def tts_encode(
         g = None
 
     logw_sdp = apply_sdp_reverse(
-        params["sdp"], h, x_mask, g=g, noise_scale=noise_scale_w, rng=rng
+        params["sdp"], h, x_mask, g=g, noise_scale=noise_scale_w, rng=rng,
+        noise=noise_w,
     )
     logw_dp = apply_duration_predictor(params["dp"], h, x_mask, g=g)
     logw = logw_sdp * sdp_ratio + logw_dp * (1.0 - sdp_ratio)

@@ -119,7 +119,7 @@ class VoiceApp:
         except Exception as e:  # noqa: BLE001 — reference catches broadly here
             return PredictResult(f"[ERROR] Get target tone color error {e} \n", None, None)
 
-        audio = tts_model.tts(prompt, None, style, language=language)
+        audio = tts_model.tts_batched(prompt, None, style, language=language)
         sr = tts_model.cfg.sampling_rate
         if source_se is None:
             source_se = self.converter._se_from_audio_batch([audio])[None, :, None]

@@ -179,7 +179,9 @@ def make_handler(service: VoiceService):
             if err:
                 self._json(400, {"error": err})
                 return
-            audio = service.tts_model.tts(
+            # bucketed-batch path: sentences batch per token/frame bucket
+            # instead of looping (same output as .tts() for the same seed)
+            audio = service.tts_model.tts_batched(
                 text, None, req.get("speaker", "default"),
                 language=req.get("language", "English"),
                 speed=float(req.get("speed", 1.0)),

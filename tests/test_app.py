@@ -140,3 +140,20 @@ def test_convert_streaming_api(tmp_path):
                                       seed=5, fast=False, chunk_frames=64)
     n = min(len(one_shot), len(streamed))
     np.testing.assert_allclose(streamed[:n], one_shot[:n], atol=2e-5, rtol=1e-4)
+
+
+def test_tts_batched_matches_sequential():
+    """tts_batched groups sentences into bucketed batches but derives
+    per-sentence RNG exactly as tts() — same seed, same audio."""
+    from openvoice_tpu.api import BaseSpeakerTTS
+
+    tts = BaseSpeakerTTS(cfg=TINY_TTS)
+    tts.init_random()
+    text = ("This is the first sentence of the test and it keeps going for a while. "
+            "Here comes another one with a different length entirely. "
+            "Short third. "
+            "And a fourth sentence that also rambles on long enough to vary buckets.")
+    seq = tts.tts(text, None, speaker=1, language="English", seed=7)
+    bat = tts.tts_batched(text, None, speaker=1, language="English", seed=7)
+    assert seq.shape == bat.shape
+    np.testing.assert_allclose(bat, seq, atol=2e-4, rtol=1e-3)
