@@ -11,6 +11,11 @@ known.
 
 Usage: python benchmarks/bench_kernels.py [--frames 896] [--batch 1]
 Prints one JSON line per stage.
+
+Caveat: XLA's cost analysis does not see inside Pallas custom calls, so
+gflops/utilization read 0 for the fully-fused bf16 stages (WN stack, MRF,
+decoder tail) — the wall-time (ms) column is the meaningful number there;
+the f32 stages still report real FLOPs for roofline context.
 """
 
 from __future__ import annotations
@@ -144,7 +149,7 @@ def main() -> None:
     fl, by = cost_of(stft_fn, audio_in)
     report("stft_pallas", dt, fl, by, peak_f32, peak_bw)
 
-    # --- posterior WaveNet (enc_q, 16 layers, bf16 serving mode) ----------
+    # --- posterior WaveNet (enc_q, 16 layers, fused Pallas WN stack) -------
     @jax.jit
     def encq_fn(s):
         z, _, _ = S.posterior_encode(p16, cfg, s, mask, None, jnp.bfloat16(0.0),
@@ -152,7 +157,7 @@ def main() -> None:
         return z
 
     dt = chain_slope(
-        lambda s: spec + 1e-9 * jnp.mean(encq_fn(s)).astype(jnp.bfloat16),
+        lambda s: spec + encq_fn(s)[..., :1] * jnp.bfloat16(0.01),
         spec,
         lambda s: float(jnp.sum(s.astype(jnp.float32))),
     )

@@ -401,7 +401,6 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
         params = self._require_params()
         token_seqs, speaker_id = self._sentence_tokens(text, speaker, language)
         pieces = []
-        pieces = []
         key = jax.random.PRNGKey(seed)
         for tokens in token_seqs:
             t_bucket = round_up_to_bucket(len(tokens))
@@ -499,16 +498,16 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
             tb_max = max(enc_rows[i]["m_p"].shape[0] for i in idxs)
             inter = cfg.inter_channels
 
-            def padded(a, rows):  # [t_x, C] → [tb_max, C]
+            def padded(a):  # [t_x, ...] → [tb_max, ...] (zero-pad the token axis)
                 out = np.zeros((tb_max,) + a.shape[1:], a.dtype)
                 out[: a.shape[0]] = a
                 return out
 
             enc = S.TTSEncodeOut(
-                m_p=jnp.asarray(np.stack([padded(enc_rows[i]["m_p"], tb_max) for i in idxs])),
-                logs_p=jnp.asarray(np.stack([padded(enc_rows[i]["logs_p"], tb_max) for i in idxs])),
-                x_mask=jnp.asarray(np.stack([padded(enc_rows[i]["x_mask"], tb_max) for i in idxs])),
-                w_ceil=jnp.asarray(np.stack([padded(enc_rows[i]["w_ceil"], tb_max) for i in idxs])),
+                m_p=jnp.asarray(np.stack([padded(enc_rows[i]["m_p"]) for i in idxs])),
+                logs_p=jnp.asarray(np.stack([padded(enc_rows[i]["logs_p"]) for i in idxs])),
+                x_mask=jnp.asarray(np.stack([padded(enc_rows[i]["x_mask"]) for i in idxs])),
+                w_ceil=jnp.asarray(np.stack([padded(enc_rows[i]["w_ceil"]) for i in idxs])),
                 g=jnp.asarray(np.repeat(g_row[None], m, axis=0)),
             )
             noise = np.stack([

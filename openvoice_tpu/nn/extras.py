@@ -62,20 +62,26 @@ def apply_conv_relu_norm(params: dict, x: jnp.ndarray, x_mask: jnp.ndarray) -> j
 def init_transformer_coupling_layer(
     rng, channels: int, hidden_channels: int, filter_channels: int,
     kernel_size: int, n_layers: int, n_heads: int, window_size: int = 4,
+    gin_channels: int = 0,
 ) -> dict:
-    from openvoice_tpu.models.synthesizer import _attn_layer_init, _conv_init
+    from openvoice_tpu.models.synthesizer import _attn_layer_init, _conv_init, _linear_init
 
     assert channels % 2 == 0
     half = channels // 2
-    keys = jax.random.split(rng, n_layers + 2)
+    keys = jax.random.split(rng, n_layers + 3)
     enc_layers = [
         _attn_layer_init(keys[i], hidden_channels, filter_channels, n_heads,
                          kernel_size, window_size)
         for i in range(n_layers)
     ]
+    enc = {"layers": enc_layers}
+    if gin_channels:
+        # mid-stack speaker conditioning (VITS2 isflow encoder,
+        # attentions.py:63-75: speaker added before layer cond_layer_idx)
+        enc["spk_emb"] = _linear_init(keys[-3], gin_channels, hidden_channels)
     return {
         "pre": _conv_init(keys[-2], 1, half, hidden_channels),
-        "enc": {"layers": enc_layers},
+        "enc": enc,
         # zero-init post: the coupling is the identity at init (flow-safe)
         "post": _conv_init(keys[-1], 1, hidden_channels, half, zero=True),
     }
@@ -100,6 +106,13 @@ def apply_transformer_coupling_layer(
     half = x.shape[-1] // 2
     x0, x1 = x[..., :half], x[..., half:]
     h = conv1d(x0, params["pre"]["w"], params["pre"]["b"]) * x_mask
+    if g is not None:
+        assert "spk_emb" in params["enc"], (
+            "conditioned coupling needs init_transformer_coupling_layer("
+            "gin_channels=...)"
+        )
+        n_enc = len(params["enc"]["layers"])
+        assert n_enc >= 3, "VITS2 conditioning injects before layer 2 (n_layers >= 3)"
     h = apply_encoder(
         params["enc"], h, x_mask,
         n_heads=n_heads, kernel_size=kernel_size, window_size=window_size,
@@ -163,8 +176,10 @@ def apply_decoder(
     Self-attention is causal (subsequent mask, commons.py:95-97), the FFN
     is causally padded, cross-attention masks on h's validity.
     """
+    from openvoice_tpu.models.align import subsequent_mask
+
     t = x.shape[1]
-    causal = jnp.tril(jnp.ones((t, t), x.dtype))[None, None]  # [1, 1, T, T]
+    causal = subsequent_mask(t).astype(x.dtype)  # [1, 1, T, T]
     self_mask = causal * (x_mask[:, None, :, 0:1] * x_mask[:, None, None, :, 0])
     cross_mask = (x_mask[:, None, :, 0:1] * h_mask[:, None, None, :, 0]).astype(x.dtype)
 

@@ -75,6 +75,34 @@ def apply_resblock2(
     return x
 
 
+def _stage_plan(params: dict, i: int, u: int, k_up: int, n_stages: int) -> dict | None:
+    """The single source of truth for which fused kernel serves stage i.
+
+    Returns {"kind": "tail"|"upmrf"|"mrf", "key": cache key, "fold": r,
+    "pad_up": torch padding} or None (XLA fallback).  Both
+    pack_generator_caches and apply_generator consult this, so the cache
+    keys can never diverge from the kernel dispatch.
+    """
+    up = params["ups"][i]
+    c_in, c_out = up["w"].shape[1], up["w"].shape[2]
+    pad_up = (k_up - u) // 2
+    is_last = i == n_stages - 1
+    fold = 128 // c_out if c_out and 128 % c_out == 0 else 0
+    if (
+        fold
+        and fold % u == 0
+        and (fold // u) * c_in == 128
+        and k_up - u - 2 * pad_up == 0
+    ):
+        key = "tail" if is_last else f"upmrf{i}"
+        return {"kind": "tail" if is_last else "upmrf", "key": key,
+                "fold": fold, "pad_up": pad_up}
+    if c_out >= 128 or (c_out and 128 % c_out == 0):
+        return {"kind": "mrf", "key": f"mrf{i}",
+                "fold": 1 if c_out >= 128 else 128 // c_out, "pad_up": pad_up}
+    return None
+
+
 def pack_generator_caches(
     params: dict,
     *,
@@ -99,33 +127,26 @@ def pack_generator_caches(
     caches: dict = {}
     if resblock_kind != "1":
         return caches
+    n_stages = len(upsample_rates)
     for i, (u, k_up) in enumerate(zip(upsample_rates, upsample_kernel_sizes)):
-        up = params["ups"][i]
-        c_in, c_stage = up["w"].shape[1], up["w"].shape[2]
+        plan = _stage_plan(params, i, u, k_up, n_stages)
+        if plan is None:
+            continue
         rbs = [params["resblocks"][i * num_kernels + j] for j in range(num_kernels)]
         kernel_sizes = tuple(rb["convs1"][0]["w"].shape[0] for rb in rbs)
-        pad_up = (k_up - u) // 2
-        is_last = i == len(upsample_rates) - 1
-        fold_tail = 128 // c_stage if c_stage and 128 % c_stage == 0 else 0
-        if (
-            fold_tail
-            and fold_tail % u == 0
-            and (fold_tail // u) * c_in == 128
-            and k_up - u - 2 * pad_up == 0
-        ):
+        if plan["kind"] in ("tail", "upmrf"):
             w_all, b_all, _, _, _ = pack_tail_weights(
-                up, rbs, params["conv_post"]["w"] if is_last else None,
+                params["ups"][i], rbs,
+                params["conv_post"]["w"] if plan["kind"] == "tail" else None,
                 kernel_sizes, resblock_dilation_sizes, stride=u,
-                up_padding=pad_up, fold=fold_tail, dtype=dtype, host=True,
+                up_padding=plan["pad_up"], fold=plan["fold"], dtype=dtype, host=True,
             )
-            caches["tail" if is_last else f"upmrf{i}"] = {"w": w_all, "b": b_all}
-        elif c_stage >= 128 or (c_stage and 128 % c_stage == 0):
-            fold = 1 if c_stage >= 128 else 128 // c_stage
+        else:
             w_all, b_all, _ = pack_stage_weights(
                 rbs, kernel_sizes, resblock_dilation_sizes,
-                dtype=dtype, fold=fold, host=True,
+                dtype=dtype, fold=plan["fold"], host=True,
             )
-            caches[f"mrf{i}"] = {"w": w_all, "b": b_all}
+        caches[plan["key"]] = {"w": w_all, "b": b_all}
     return caches
 
 
@@ -173,19 +194,11 @@ def apply_generator(
     )
     for i, (u, k_up) in enumerate(zip(upsample_rates, upsample_kernel_sizes)):
         up = params["ups"][i]
+        plan = _stage_plan(params, i, u, k_up, len(upsample_rates)) if use_fused else None
         is_last = i == len(upsample_rates) - 1
-        c_in = x.shape[-1]
-        c_out_up = up["w"].shape[2]
-        fold = 128 // c_out_up if c_out_up and 128 % c_out_up == 0 else 0
         pad_up = (k_up - u) // 2
-        up_fusable = (
-            use_fused
-            and fold
-            and fold % u == 0
-            and (fold // u) * c_in == 128
-            and k_up - u - 2 * pad_up == 0
-        )
-        if up_fusable:
+        if plan is not None and plan["kind"] in ("tail", "upmrf"):
+            fold = plan["fold"]
             # lrelu → upsample → MRF [→ lrelu(0.01) → conv_post → tanh on the
             # last stage] as one Pallas kernel: the fold_in input layout and
             # the fold_out MRF layout both fill 128 lanes with 1:1 rows
@@ -197,7 +210,7 @@ def apply_generator(
                 for j in range(num_kernels)
             )
             post_w = params["conv_post"]["w"] if is_last else None
-            key = "tail" if is_last else f"upmrf{i}"
+            key = plan["key"]
             if packed is not None and key in packed:
                 from openvoice_tpu.ops.mrf_pallas import (
                     fold_post_taps,
@@ -246,18 +259,17 @@ def apply_generator(
         if x_mask is not None:
             x_mask = jnp.repeat(x_mask, u, axis=1)
             x = x * x_mask
-        c_stage = x.shape[-1]
-        if use_fused and (c_stage >= 128 or 128 % c_stage == 0):
+        if plan is not None and plan["kind"] == "mrf":
             from openvoice_tpu.ops.mrf_pallas import fused_mrf_stage, pack_stage_weights
 
-            fold = 1 if c_stage >= 128 else 128 // c_stage
+            fold = plan["fold"]
             kernel_sizes = tuple(
                 params["resblocks"][i * num_kernels + j]["convs1"][0]["w"].shape[0]
                 for j in range(num_kernels)
             )
-            if packed is not None and f"mrf{i}" in packed:
-                w_all = packed[f"mrf{i}"]["w"].astype(x.dtype)
-                b_all = packed[f"mrf{i}"]["b"].astype(x.dtype)
+            if packed is not None and plan["key"] in packed:
+                w_all = packed[plan["key"]]["w"].astype(x.dtype)
+                b_all = packed[plan["key"]]["b"].astype(x.dtype)
             else:
                 w_all, b_all, _ = pack_stage_weights(
                     [params["resblocks"][i * num_kernels + j] for j in range(num_kernels)],

@@ -309,18 +309,6 @@ def _lrelu(x, slope=0.1):
     return jnp.maximum(x, 0) + jnp.minimum(x, 0) * jnp.asarray(slope, x.dtype)
 
 
-def _shift(x, s: int, ext: int):
-    """rows shifted so result[t] = x[t + s]; pltpu.roll requires a
-    non-negative shift, so negative s rolls by ext - |s| (same circle).
-    Mosaic's rotate only handles 32-bit lanes — bf16 round-trips through
-    f32 for the roll (VPU casts, cheap next to the tap matmuls)."""
-    if s == 0:
-        return x
-    if x.dtype == jnp.bfloat16:
-        return pltpu.roll(x.astype(jnp.float32), (-s) % ext, 0).astype(jnp.bfloat16)
-    return pltpu.roll(x, (-s) % ext, 0)
-
-
 def _mrf_kernel(
     len_ref,     # [B] int32 in SMEM (scalar prefetch): true sample lengths
     x_ref,       # [B, T_pad + 2H, C'] HBM (pre-padded by H rows each side)

@@ -16,6 +16,13 @@ global frame positions so per-layer masking matches everywhere.  The noise
 tensor is sliced from one full-length array at the same global positions,
 keeping the stochastic path identical too.
 
+Window starts are clamped to frame 0 so the in-window mask is always a
+PREFIX mask: the fused serving kernels (ops/{wn,mrf}_pallas.py) rebuild
+masks as ``pos < sum(mask)`` and cannot represent a left-invalid margin.
+At start == 0 the window's left edge IS the sequence start, so the kernels'
+zero padding matches the one-shot graph exactly; clamped chunks emit from
+``offset = ci·chunk − start`` (a traced scalar — still one compiled graph).
+
 One jitted graph of shape [B, halo + chunk + halo] serves every chunk —
 compile once, stream forever; peak device memory is O(chunk), independent
 of utterance length.
@@ -29,21 +36,24 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from openvoice_tpu.config import SynthesizerConfig
 from openvoice_tpu.models.synthesizer import voice_conversion_masked
 from openvoice_tpu.runtime.sequence_parallel import required_halo
 
 
-@partial(jax.jit, static_argnames=("cfg", "fast", "halo", "chunk_frames"))
+@partial(jax.jit, static_argnames=("cfg", "fast", "chunk_frames"))
 def _run_chunk(params, dec_cache, cfg, spec_ext, mask_ext, noise_ext,
-               g_src, g_tgt, tau, *, fast, halo, chunk_frames):
+               g_src, g_tgt, tau, offset, *, fast, chunk_frames):
+    """Convert one halo-extended window and emit chunk_frames·up samples
+    starting at frame `offset` (traced — clamped first chunks use < halo)."""
     up = cfg.upsample_factor
     audio = voice_conversion_masked(
         params, cfg, spec_ext, mask_ext, g_src, g_tgt, tau, noise_ext,
         fast=fast, dec_cache=dec_cache,
     )
-    return audio[:, halo * up: (halo + chunk_frames) * up]
+    return lax.dynamic_slice_in_dim(audio, offset * up, chunk_frames * up, axis=1)
 
 
 def voice_conversion_streaming(
@@ -81,25 +91,22 @@ def voice_conversion_streaming(
     n_chunks = -(-t // chunk_frames)
     pieces = []
     for ci in range(n_chunks):
-        start = ci * chunk_frames - halo
-        # window [start, start + ext) of the global frame axis, zero-padded
-        # outside [0, t) — identical to the implicit zero padding the
-        # one-shot graph's 'SAME' convs see at the sequence edges
+        start = max(ci * chunk_frames - halo, 0)
+        offset = ci * chunk_frames - start  # ≤ halo; < halo only when clamped
         window = np.zeros((b, ext, n_freq), np.float32)
         nwin = np.zeros((b, ext, noise.shape[-1]), np.float32)
-        lo, hi = max(start, 0), min(start + ext, t)
-        if hi > lo:
-            window[:, lo - start: hi - start] = spec[:, lo:hi]
-            nwin[:, lo - start: hi - start] = noise[:, lo:hi]
+        hi = min(start + ext, t)
+        window[:, : hi - start] = spec[:, start:hi]
+        nwin[:, : hi - start] = noise[:, start:hi]
         pos = start + np.arange(ext)
-        mask = (pos[None, :] >= 0) & (pos[None, :] < lengths[:, None])
+        mask = pos[None, :] < lengths[:, None]  # always a prefix mask
         pieces.append(np.asarray(_run_chunk(
             params, dec_cache, cfg,
             jnp.asarray(window),
             jnp.asarray(mask.astype(np.float32))[..., None],
             jnp.asarray(nwin),
-            g_src, g_tgt, tau,
-            fast=fast, halo=halo, chunk_frames=chunk_frames,
+            g_src, g_tgt, tau, offset,
+            fast=fast, chunk_frames=chunk_frames,
         )))
     audio = np.concatenate(pieces, axis=1)
     return audio[:, : t * up]

@@ -123,3 +123,25 @@ def test_subsequent_mask_and_gumbel():
     assert np.isfinite(g).all()
     # Gumbel(0,1) mean is the Euler–Mascheroni constant ≈ 0.5772
     assert abs(g.mean() - 0.5772) < 0.05
+
+
+def test_transformer_coupling_conditioned():
+    """Speaker-conditioned coupling (gin_channels > 0): mid-stack g
+    injection, round-trip inversion still exact."""
+    rng = jax.random.PRNGKey(0)
+    p = init_transformer_coupling_layer(rng, channels=32, hidden_channels=48,
+                                        filter_channels=96, kernel_size=3,
+                                        n_layers=3, n_heads=2, gin_channels=16)
+    p["post"]["w"] = jax.random.normal(jax.random.PRNGKey(5), p["post"]["w"].shape) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 32))
+    g = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 16))
+    mask = jnp.ones((2, 24, 1))
+    y, _ = apply_transformer_coupling_layer(
+        p, x, mask, n_heads=2, kernel_size=3, g=g, reverse=False)
+    x_back = apply_transformer_coupling_layer(
+        p, y, mask, n_heads=2, kernel_size=3, g=g, reverse=True)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-5)
+    # conditioning actually changes the transform
+    y0, _ = apply_transformer_coupling_layer(
+        p, x, mask, n_heads=2, kernel_size=3, g=g * 0.0, reverse=False)
+    assert np.abs(np.asarray(y) - np.asarray(y0)).max() > 1e-4

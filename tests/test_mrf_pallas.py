@@ -212,3 +212,35 @@ def test_fused_up_mrf_middle_stage_matches_xla():
     )
     assert out.shape == (b, t_in * u, c_out)
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_pack_host_matches_inline():
+    """Host-side (numpy) cache packing must produce the same stacked tensors
+    as the in-graph (jnp) packing for both stage and tail weights."""
+    from openvoice_tpu.ops.mrf_pallas import pack_stage_weights, pack_tail_weights
+
+    rng = np.random.default_rng(21)
+    c_in, c_out, u, k_up = 128, 64, 2, 4
+    resblocks = _random_resblocks(rng, c_out)
+    up = {
+        "w": jnp.asarray(rng.standard_normal((k_up, c_in, c_out)).astype(np.float32)),
+        "b": jnp.asarray(rng.standard_normal(c_out).astype(np.float32)),
+    }
+    post_w = jnp.asarray(rng.standard_normal((7, c_out, 1)).astype(np.float32))
+
+    for fold in (1, 2):
+        w_j, b_j, meta_j = pack_stage_weights(resblocks, KS, DILS, dtype=jnp.float32, fold=fold)
+        w_h, b_h, meta_h = pack_stage_weights(resblocks, KS, DILS, dtype=jnp.float32,
+                                              fold=fold, host=True)
+        assert meta_j == meta_h
+        np.testing.assert_array_equal(np.asarray(w_j), np.asarray(w_h))
+        np.testing.assert_array_equal(np.asarray(b_j), np.asarray(b_h))
+
+    for pw in (post_w, None):
+        out_j = pack_tail_weights(up, resblocks, pw, KS, DILS, stride=u,
+                                  up_padding=1, fold=2, dtype=jnp.float32)
+        out_h = pack_tail_weights(up, resblocks, pw, KS, DILS, stride=u,
+                                  up_padding=1, fold=2, dtype=jnp.float32, host=True)
+        assert out_j[2:] == out_h[2:]  # static metadata identical
+        np.testing.assert_array_equal(np.asarray(out_j[0]), np.asarray(out_h[0]))
+        np.testing.assert_array_equal(np.asarray(out_j[1]), np.asarray(out_h[1]))
