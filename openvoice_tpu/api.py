@@ -235,7 +235,10 @@ class ToneColorConverter(OpenVoiceBaseClass):
             g_src, g_tgt, float(tau), noise, fast=fast,
             dec_cache=self._require_dec_cache() if fast else None,
         )
-        audio_out = np.asarray(out)[0, : n_frames * cfg.upsample_factor, 0]
+        # device-slice the trailing unit dim BEFORE the host transfer: the
+        # dispatch tunnel reads minor-dim-1 arrays back element-wise
+        # (measured 472 s for 7.3 MB vs 0.4 s squeezed)
+        audio_out = np.asarray(out[0, : n_frames * cfg.upsample_factor, 0])
         if self.enable_watermark and message:
             audio_out = self.add_watermark(audio_out, message)
         if output_path is None:
@@ -517,10 +520,11 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
                 params, cfg, enc, fb, jnp.asarray(noise),
                 noise_scale=0.667, fast=fast, dec_cache=dec_cache,
             )
-            audio = np.asarray(audio)
+            # device-slice the unit dim before readback (see convert())
+            audio = np.asarray(audio[..., 0])
             y_lengths = np.asarray(jnp.sum(y_mask[..., 0], axis=-1)).astype(np.int64)
             for r, i in enumerate(idxs):
-                pieces[i] = audio[r, : y_lengths[r] * cfg.upsample_factor, 0]
+                pieces[i] = audio[r, : y_lengths[r] * cfg.upsample_factor]
 
         out = _concat_with_gaps(pieces, cfg.sampling_rate, speed)
         if output_path is None:

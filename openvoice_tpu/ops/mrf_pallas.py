@@ -377,8 +377,10 @@ def _mrf_kernel(
             w_ref.at[pl.ds(tap0, n)], wbuf.at[slot, pl.ds(0, n)], wsem.at[slot]
         )
 
+    n_slots = wbuf.shape[0] if stream else 0
     if stream:
-        w_dma(0, 0).start()
+        for ahead in range(min(n_slots - 1, len(meta))):
+            w_dma(ahead % n_slots, ahead).start()
 
     def conv(xt, ci, shifts):
         # accumulating tap-matmuls off the slack buffer: one store of xt,
@@ -388,14 +390,13 @@ def _mrf_kernel(
         # Mosaic takes 20+ min to compile the wide concats at production
         # shapes, an unacceptable per-bucket serving cost.)
         if stream:
-            # double-buffered per-conv weight slice HBM→VMEM: start the next
-            # conv's copy, then wait on this one.  Program order already
-            # sequences conv ci-1's matmul reads of slot (ci+1)%2 before this
-            # start, so the overwrite can't race them.
-            if ci + 1 < len(meta):
-                w_dma((ci + 1) % 2, ci + 1).start()
-            w_dma(ci % 2, ci).wait()
-            weights, base = wbuf.at[ci % 2], 0
+            # multi-buffered per-conv weight slices HBM→VMEM: n_slots-1 convs
+            # are prefetched ahead; slot s is refilled only after its previous
+            # reader's matmuls were issued (in-order), so no race.
+            if ci + n_slots - 1 < len(meta):
+                w_dma((ci + n_slots - 1) % n_slots, ci + n_slots - 1).start()
+            w_dma(ci % n_slots, ci).wait()
+            weights, base = wbuf.at[ci % n_slots], 0
         else:
             weights, base = w_ref, ranges[ci][0]
         xsl[halo: halo + ext, :] = xt
@@ -483,8 +484,8 @@ def fused_mrf_stage(
     ]
     if stream:
         scratch += [
-            pltpu.VMEM((2, max_conv_taps, c_pad, c_pad), w_all.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, max_conv_taps, c_pad, c_pad), w_all.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

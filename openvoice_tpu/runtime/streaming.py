@@ -53,7 +53,9 @@ def _run_chunk(params, dec_cache, cfg, spec_ext, mask_ext, noise_ext,
         params, cfg, spec_ext, mask_ext, g_src, g_tgt, tau, noise_ext,
         fast=fast, dec_cache=dec_cache,
     )
-    return lax.dynamic_slice_in_dim(audio, offset * up, chunk_frames * up, axis=1)
+    # squeeze the unit dim on device: the dispatch tunnel reads minor-dim-1
+    # arrays back element-wise (hundreds of seconds for a few MB)
+    return lax.dynamic_slice_in_dim(audio[..., 0], offset * up, chunk_frames * up, axis=1)
 
 
 def voice_conversion_streaming(
@@ -108,5 +110,5 @@ def voice_conversion_streaming(
             g_src, g_tgt, tau, offset,
             fast=fast, chunk_frames=chunk_frames,
         )))
-    audio = np.concatenate(pieces, axis=1)
+    audio = np.concatenate(pieces, axis=1)[..., None]
     return audio[:, : t * up]
