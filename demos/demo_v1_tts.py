@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--speed", type=float, default=1.0)
     ap.add_argument("--reference", default=None, help="target speaker recording")
     ap.add_argument("--output", default="outputs/demo_v1.wav")
+    ap.add_argument("--parity", action="store_true",
+                    help="full-f32 decode (the parity mode; compiles for many\n"
+                         "minutes at full model size — bf16 serving mode is\n"
+                         "the default, as in the served app)")
     args = ap.parse_args()
 
     from openvoice_tpu.api import BaseSpeakerTTS, ToneColorConverter
@@ -53,7 +57,8 @@ def main() -> None:
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     tmp_path = os.path.join(os.path.dirname(args.output) or ".", "tmp_tts.wav")
     print("synthesizing...")
-    tts.tts(args.text, tmp_path, args.speaker, language=args.language, speed=args.speed)
+    tts.tts_batched(args.text, tmp_path, args.speaker, language=args.language,
+                    speed=args.speed, fast=not args.parity)
     print(f"wrote base audio to {tmp_path}")
 
     if args.reference:
@@ -69,6 +74,11 @@ def main() -> None:
         tgt_se, _ = get_se(args.reference, conv, target_dir="processed")
         conv.convert(tmp_path, src_se, tgt_se, output_path=args.output, message="@MyShell")
         print(f"wrote converted audio to {args.output}")
+    else:
+        import shutil
+
+        shutil.copyfile(tmp_path, args.output)
+        print(f"no --reference: wrote base TTS audio to {args.output}")
 
 
 if __name__ == "__main__":
