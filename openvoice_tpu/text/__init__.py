@@ -33,6 +33,24 @@ def cleaned_text_to_sequence(cleaned_text: str, symbols) -> list[int]:
     return [symbol_to_id[ch] for ch in cleaned_text if ch in symbol_to_id]
 
 
+def cleaned_text_to_sequence_vits2(
+    cleaned_text, tones, language: str, symbols, languages
+) -> tuple[list[int], list[int], list[int]]:
+    """VITS2-style tokenization with tone and language IDs
+    (reference text/__init__.py:47-61, unused by the shipped checkpoints but
+    part of the frontend surface): phone IDs, per-language tone offsets from
+    symbols.language_tone_start_map, and a constant language-ID stream."""
+    from openvoice_tpu.text.symbols import language_tone_start_map
+
+    symbol_to_id = {s: i for i, s in enumerate(symbols)}
+    language_id_map = {s: i for i, s in enumerate(languages)}
+    phones = [symbol_to_id[ch] for ch in cleaned_text]
+    tone_start = language_tone_start_map[language]
+    tones = [t + tone_start for t in tones]
+    lang_ids = [language_id_map[language]] * len(phones)
+    return phones, tones, lang_ids
+
+
 def sequence_to_text(sequence, symbols=None) -> str:
     symbols = symbols if symbols is not None else default_symbols
     id_to_symbol = {i: s for i, s in enumerate(symbols)}

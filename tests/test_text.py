@@ -179,3 +179,20 @@ def test_split_sentences_matches_reference():
         assert split_sentence(t, language_str="EN") == ref_split(t, language_str="EN")
     zh = "今天天气很好。我们去公园散步吧！你觉得怎么样？"
     assert split_sentence(zh, language_str="ZH") == ref_split(zh, language_str="ZH")
+
+
+def test_cleaned_text_to_sequence_vits2():
+    """VITS2 variant (reference text/__init__.py:47-61): tone offsets from
+    language_tone_start_map, constant language-ID stream."""
+    from openvoice_tpu.text import cleaned_text_to_sequence_vits2
+    from openvoice_tpu.text.symbols import language_tone_start_map, symbols
+
+    langs = list(language_tone_start_map)
+    lang = "ZH" if "ZH" in language_tone_start_map else langs[1]
+    text = symbols[5] + symbols[6] + symbols[7]
+    phones, tones, lang_ids = cleaned_text_to_sequence_vits2(
+        text, [0, 1, 2], lang, symbols, langs)
+    assert phones == [5, 6, 7]
+    start = language_tone_start_map[lang]
+    assert tones == [start, start + 1, start + 2]
+    assert lang_ids == [langs.index(lang)] * 3
