@@ -139,11 +139,10 @@ class ToneColorConverter(OpenVoiceBaseClass):
         [1, gin, 1] to stay drop-in with reference .pth SE tensors."""
         if isinstance(ref_wav_list, str):
             ref_wav_list = [ref_wav_list]
-        ses = []
-        for fname in ref_wav_list:
-            audio, _ = load_audio(fname, sr=self.cfg.sampling_rate)
-            ses.append(self._se_from_audio_batch([audio]))
-        se = np.stack(ses).mean(0)  # [gin]
+        audios = [load_audio(f, sr=self.cfg.sampling_rate)[0] for f in ref_wav_list]
+        # one bucketed batch over all files; the batch mean IS the per-file
+        # mean (api.py:133) since each row is one file's whole-recording SE
+        se = self._se_from_audio_batch(audios)  # [gin]
         out = se[None, :, None].astype(np.float32)
         if se_save_path is not None:
             os.makedirs(os.path.dirname(se_save_path) or ".", exist_ok=True)
