@@ -5,9 +5,10 @@ The reference converts one utterance at a time in a Python loop
 (/root/reference/openvoice/api.py:141-160, batch=1 everywhere); this
 benchmark converts a mixed-length batch — utterance lengths drawn from the
 spread a multilingual corpus produces (per-language speaking-rate spread,
-demo_part2/3 languages) — through the bucketed batch path: lengths are
-rounded up to static buckets (runtime/bucketing.py), one compiled program
-per bucket, masks keep padding exact.
+demo_part2/3 languages) — through the planned batch path: the DP planner
+(runtime/bucketing.py::plan_groups) partitions utterances into cost-optimal
+(bucket, padded-batch) groups over fine lane-aligned buckets, one compiled
+program per group shape, masks keep padding exact.
 
 Usage:
   python benchmarks/bench_batch.py [--n 64] [--batch 8] [--parity]
@@ -44,7 +45,7 @@ def main() -> None:
 
     from openvoice_tpu.config import V2_CONVERTER_CONFIG as cfg
     from openvoice_tpu.models import synthesizer as S
-    from openvoice_tpu.runtime.bucketing import round_up_to_bucket
+    from openvoice_tpu.runtime.bucketing import plan_groups
 
     params = S.init_synthesizer(jax.random.PRNGKey(0), cfg)
     fast = not args.parity
@@ -60,24 +61,23 @@ def main() -> None:
         for i in range(args.n)
     ]
 
-    # Group into (bucket, batch) programs: sort by length, chunk, pad chunk
-    # to its max length's bucket.
-    order = np.argsort(lengths)
-    groups = []
-    for i in range(0, args.n, args.batch):
-        idx = order[i : i + args.batch]
-        t_max = max(lengths[j] for j in idx)
-        groups.append((round_up_to_bucket(t_max), [lengths[j] for j in idx]))
+    # Group into (bucket, padded-batch) programs with the cost-optimal DP
+    # planner (fine lane-aligned buckets, pow2 row padding): 1.34× padded/real
+    # under the previous sorted-chunks-of-8 scheme → ~1.12× here.
+    groups = [
+        (bucket, [lengths[j] for j in idx], padded_batch)
+        for idx, bucket, padded_batch in plan_groups(lengths, max_batch=args.batch)
+    ]
 
     convert = jax.jit(S.voice_conversion, static_argnames=("cfg", "fast"))
     dec_cache = S.make_dec_cache(params, cfg) if fast else None
 
-    def make_inputs(bucket: int, lens: list[int]):
-        b = len(lens)
+    def make_inputs(bucket: int, lens: list[int], padded_batch: int):
+        b = padded_batch  # pow2 row padding; pad rows carry length 0 (masked)
         spec = jnp.asarray(
             np.abs(rng.standard_normal((b, bucket, cfg.spec_channels))).astype(np.float32)
         )
-        ls = jnp.asarray(lens, jnp.int32)
+        ls = jnp.asarray(lens + [0] * (b - len(lens)), jnp.int32)
         g = jnp.asarray(rng.standard_normal((b, 1, cfg.gin_channels)).astype(np.float32))
         noise = jnp.asarray(
             rng.standard_normal((b, bucket, cfg.inter_channels)).astype(np.float32)
@@ -86,7 +86,7 @@ def main() -> None:
 
     # device-resident inputs, built once outside the timed region (the serving
     # tier likewise keeps specs on-device; host RNG is not part of the model)
-    group_inputs = [make_inputs(bucket, lens) for bucket, lens in groups]
+    group_inputs = [make_inputs(bucket, lens, pb) for bucket, lens, pb in groups]
     for spec, ls, g, noise in group_inputs:  # warm up each program
         audio, _ = convert(params, cfg, spec, ls, g, g, 0.3, noise, fast=fast,
                            dec_cache=dec_cache)
@@ -113,7 +113,7 @@ def main() -> None:
     dt = max(slopes[len(slopes) // 2], 1e-9)
 
     real_frames = sum(lengths)
-    padded_frames = sum(bk * len(ls) for bk, ls in groups)
+    padded_frames = sum(bk * pb for bk, _, pb in groups)
     audio_seconds = real_frames * cfg.hop_length / cfg.sampling_rate
     value = audio_seconds / dt
     print(

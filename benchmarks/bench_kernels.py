@@ -229,6 +229,155 @@ def main() -> None:
     report("convert_e2e_fast", dt, fl, by, peak_bf16, peak_bw,
            {"audio_s_per_s": round(audio_s / dt, 1)})
 
+    # --- per-stage decoder breakdown (serving mode) -------------------------
+    # `useful_tflops_per_s` counts only the algorithm's FLOPs; `fold_overhead`
+    # is the intrinsic multiplier of the time-folded formulation (dilated taps
+    # go block-sparse under folding, and the MXU can't subdivide below a
+    # 128×128 tile, so raw MXU work = useful × fold_overhead).  Measured on
+    # v5e: raw occupancy is ~peak on every folded stage — the decoder is at
+    # its algebraic optimum, the remaining gap to speed-of-light IS the fold
+    # overhead on the two narrow stages (C=64: ~1.9×, C=32: ~4.4×).
+    _stage_breakdown(params, cfg, t, b, chain_slope, peak_bf16)
+
+
+def _fold_overhead(kernel_sizes, dilation_sizes, fold: int) -> float:
+    """Raw-to-useful FLOP multiplier of the folded MRF stage: for each conv,
+    a dense per-q tap matmul costs n_q·fold× the k useful tap matmuls."""
+    from openvoice_tpu.ops.mrf_pallas import _folded_conv
+
+    if fold <= 1:
+        return 1.0
+    raw = useful = 0
+    for k, dils in zip(kernel_sizes, dilation_sizes):
+        for d in dils:
+            for kk, dd in ((k, d), (k, 1)):  # dilated conv + post conv
+                qs, _ = _folded_conv(kk, dd, fold)
+                raw += len(qs) * fold
+                useful += kk
+    return raw / useful
+
+
+def _stage_breakdown(params, cfg, t, b, chain_slope, peak_bf16) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from openvoice_tpu.nn.hifigan import _stage_plan, pack_generator_caches
+
+    dec = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params["dec"])
+    packed = pack_generator_caches(
+        params["dec"],
+        resblock_kind=cfg.resblock,
+        resblock_dilation_sizes=cfg.resblock_dilation_sizes,
+        upsample_rates=cfg.upsample_rates,
+        upsample_kernel_sizes=cfg.upsample_kernel_sizes,
+    )
+    rng = np.random.default_rng(1)
+    num_kernels = len(cfg.resblock_dilation_sizes)
+    n_stages = len(cfg.upsample_rates)
+    t_in, c_in = t, cfg.upsample_initial_channel
+    for i, (u, k_up) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        up = dec["ups"][i]
+        c_out = up["w"].shape[2]
+        plan = _stage_plan(dec, i, u, k_up, n_stages)
+        kernel_sizes = tuple(
+            dec["resblocks"][i * num_kernels + j]["convs1"][0]["w"].shape[0]
+            for j in range(num_kernels)
+        )
+        xin = jnp.asarray(
+            rng.standard_normal((b, t_in, c_in)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        step = _make_stage_step(
+            dec, cfg, packed, plan, i, u, k_up, kernel_sizes, xin, t_in, b,
+            n_stages,
+        )
+        if step is None:
+            print(json.dumps({"stage": f"dec_s{i}", "kind": "xla", "c": int(c_out)}))
+        else:
+            dt = chain_slope(step, xin, lambda x: float(jnp.sum(x.astype(jnp.float32))))
+            t_out = t_in * u
+            fl_up = 2 * c_in * c_out * k_up * t_out * b
+            fl_mrf = (
+                2 * c_out * c_out * t_out * b
+                * 2 * sum(k * len(cfg.resblock_dilation_sizes[0]) for k in kernel_sizes)
+            )
+            fold = plan["fold"] if plan["kind"] != "mrf" or plan["fold"] > 1 else 1
+            row = {
+                "stage": f"dec_s{i}", "kind": plan["kind"], "c": int(c_out),
+                "t_out": t_out, "ms": round(dt * 1e3, 3),
+                "useful_tflops_per_s": round((fl_up + fl_mrf) / dt / 1e12, 1),
+                "fold_overhead": round(
+                    _fold_overhead(kernel_sizes, cfg.resblock_dilation_sizes, fold), 2
+                ),
+            }
+            if peak_bf16:
+                row["useful_mxu_util"] = round((fl_up + fl_mrf) / dt / peak_bf16, 3)
+            print(json.dumps(row))
+        t_in *= u
+        c_in = c_out
+
+
+def _make_stage_step(dec, cfg, packed, plan, i, u, k_up, kernel_sizes, xin,
+                     t_in, b, n_stages):
+    """One jitted callable running decoder stage i (fused path) whose output
+    feeds back into its own input so chain_slope can time it."""
+    import jax
+    import jax.numpy as jnp
+
+    from openvoice_tpu.nn.conv import conv_transpose1d
+    from openvoice_tpu.ops.mrf_pallas import (
+        fold_post_taps,
+        fold_transpose_taps,
+        fused_mrf_stage,
+        fused_tail_stage,
+        stage_meta,
+    )
+
+    if plan is None:
+        return None
+    dil = tuple(tuple(d) for d in cfg.resblock_dilation_sizes)
+    is_last = i == n_stages - 1
+    pad_up = (k_up - u) // 2
+    key = plan["key"]
+    w_all = packed[key]["w"].astype(jnp.bfloat16)
+    b_all = packed[key]["b"].astype(jnp.bfloat16)
+    if plan["kind"] in ("tail", "upmrf"):
+        fold = plan["fold"]
+        up_qs = tuple(fold_transpose_taps(k_up, u, pad_up, fold // u)[0])
+        mrf_meta = stage_meta(kernel_sizes, cfg.resblock_dilation_sizes, fold)
+        post_qs = (
+            tuple(fold_post_taps(dec["conv_post"]["w"].shape[0], fold)[0])
+            if is_last else None
+        )
+
+        @jax.jit
+        def step(x):
+            lengths = jnp.full((b,), t_in * u, jnp.int32)
+            y = fused_tail_stage(
+                x, lengths, w_all, b_all, kernel_sizes=kernel_sizes,
+                dilation_sizes=dil, stride=u, fold=fold,
+                up_qs=up_qs, mrf_meta=mrf_meta, post_qs=post_qs,
+            )
+            fb = y.reshape(b, -1)[:, :1] * 0.001
+            return xin + fb[:, :, None].astype(jnp.bfloat16)
+
+        return step
+
+    up = dec["ups"][i]
+
+    @jax.jit
+    def step(x):
+        h = jax.nn.leaky_relu(x, 0.1)
+        h = conv_transpose1d(h, up["w"], up["b"], stride=u, padding=pad_up)
+        lengths = jnp.full((b,), t_in * u, jnp.int32)
+        y = fused_mrf_stage(
+            h, lengths, w_all, b_all, kernel_sizes=kernel_sizes,
+            dilation_sizes=dil, fold=plan["fold"],
+        )
+        fb = y.reshape(b, -1)[:, :1] * 0.001
+        return xin + fb[:, :, None].astype(jnp.bfloat16)
+
+    return step
+
 
 if __name__ == "__main__":
     main()

@@ -2,11 +2,15 @@
 256-utterance concurrent stream).
 
 The reference serves one utterance at a time through Gradio
-(openvoice_app.py:37-141).  Here requests queue up, a scheduler groups them
-by length bucket (identical compiled program), pads to (max_batch, bucket)
-and dispatches one jitted graph per group.  Failures are isolated
-per-request (SURVEY.md §5.3): one bad request errors its own future, never
-the batch.
+(openvoice_app.py:37-141).  Here requests queue up, and on each scheduling
+tick the cost-optimal planner (runtime/bucketing.py::plan_groups) partitions
+everything pending into (bucket, padded-batch) groups minimizing padded
+frames + dispatch overhead; groups that are full or contain an
+over-deadline request dispatch as one jitted graph each, the rest keep
+waiting for peers.  Row padding to power-of-2 batch sizes bounds the number
+of distinct compiled programs; padded rows carry length 0 so every kernel's
+prefix mask makes them inert.  Failures are isolated per-request
+(SURVEY.md §5.3): one bad request errors its own future, never the batch.
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ import jax.numpy as jnp
 
 from openvoice_tpu.config import SynthesizerConfig
 from openvoice_tpu.models import synthesizer as S
-from openvoice_tpu.runtime.bucketing import round_up_to_bucket
+from openvoice_tpu.runtime.bucketing import plan_groups
 from openvoice_tpu.runtime.profiler import METRICS, trace
 
 
@@ -59,6 +63,8 @@ class ConvertBatcher:
         # serving graph (models/synthesizer.py::make_dec_cache)
         self.dec_cache = S.make_dec_cache(params, cfg) if fast else None
         self.max_batch = max_batch
+        # largest batch size the planner can emit (pow2-padded, ≤ max_batch)
+        self._full_batch = max(b for b in (1, 2, 4, 8) if b <= max_batch)
         self.max_wait_s = max_wait_ms / 1e3
         self._q: queue.Queue[ConvertRequest | None] = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -88,8 +94,7 @@ class ConvertBatcher:
     # ------------------------------------------------------------------
 
     def _loop(self) -> None:
-        pending: dict[int, list[ConvertRequest]] = {}
-        deadline: dict[int, float] = {}
+        pending: list[ConvertRequest] = []
         while self._running:
             timeout = self.max_wait_s
             try:
@@ -99,31 +104,39 @@ class ConvertBatcher:
             if item is None:
                 break
             if isinstance(item, ConvertRequest):
-                b = round_up_to_bucket(item.n_frames)
-                pending.setdefault(b, []).append(item)
-                deadline.setdefault(b, item.enqueued_at + self.max_wait_s)
+                pending.append(item)
 
             now = time.perf_counter()
-            for b in list(pending):
-                group = pending[b]
-                if len(group) >= self.max_batch or now >= deadline[b]:
-                    del pending[b], deadline[b]
-                    self._dispatch(b, group[: self.max_batch])
-                    rest = group[self.max_batch :]
-                    if rest:
-                        pending[b] = rest
-                        deadline[b] = now  # dispatch next tick
+            if not pending:
+                continue
+            oldest_due = min(r.enqueued_at for r in pending) + self.max_wait_s <= now
+            if len(pending) < self.max_batch and not oldest_due:
+                continue
+            plan = plan_groups(
+                [r.n_frames for r in pending], max_batch=self.max_batch
+            )
+            keep: list[ConvertRequest] = []
+            for idx, bucket, padded_batch in plan:
+                group = [pending[i] for i in idx]
+                full = len(group) >= self._full_batch
+                due = any(r.enqueued_at + self.max_wait_s <= now for r in group)
+                if full or due:
+                    self._dispatch(bucket, group, padded_batch)
+                else:
+                    keep.extend(group)
+            pending = keep
         # drain
-        for group in pending.values():
-            for r in group:
-                r.future.set_exception(RuntimeError("batcher stopped"))
+        for r in pending:
+            r.future.set_exception(RuntimeError("batcher stopped"))
 
-    def _dispatch(self, bucket: int, group: list[ConvertRequest]) -> None:
+    def _dispatch(
+        self, bucket: int, group: list[ConvertRequest], padded_batch: int | None = None
+    ) -> None:
         cfg = self.cfg
         try:
-            n = len(group)
+            n = padded_batch or len(group)
             spec = np.zeros((n, bucket, cfg.spec_channels), np.float32)
-            lengths = np.zeros(n, np.int32)
+            lengths = np.zeros(n, np.int32)  # padded rows stay length 0 → fully masked
             g_src = np.zeros((n, 1, cfg.gin_channels), np.float32)
             g_tgt = np.zeros((n, 1, cfg.gin_channels), np.float32)
             taus = np.zeros((n, 1, 1), np.float32)
@@ -137,14 +150,13 @@ class ConvertBatcher:
             # would be a BLOCKING device round-trip per request through the
             # dispatch tunnel (~60 ms each — measured 42 audio-s/s on the
             # 256-utterance stream before this fix, 25 s mean latency)
-            noise = np.stack(
-                [
+            noise = np.zeros((n, bucket, cfg.inter_channels), np.float32)
+            for i, r in enumerate(group):
+                noise[i] = (
                     np.random.default_rng(r.seed)
                     .standard_normal((bucket, cfg.inter_channels))
                     .astype(np.float32)
-                    for r in group
-                ]
-            )
+                )
             t0 = time.perf_counter()
             with trace("convert_batch"):
                 audio, _ = S.voice_conversion_jit(
