@@ -14,8 +14,10 @@ from typing import Sequence
 
 DEFAULT_BUCKETS: tuple[int, ...] = (64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
 
-# Finer, lane-aligned table for the batch planner: max rounding waste ≤ 14%
-# (vs 50% at the top of DEFAULT_BUCKETS).  Finer buckets mean more compiled
+# Finer, lane-aligned table for the batch planner: rounding waste is bounded
+# by the step ratio — ≤ 20% everywhere above 512 and ≤ 12.5% above 1024 (vs
+# 50% at the top of DEFAULT_BUCKETS; below 512 the ratio is coarser but the
+# absolute waste is ≤ 64 frames).  Finer buckets mean more compiled
 # programs, so this table is for long-running batch consumers (the serving
 # batcher, batch benchmarks) where compiles amortize; one-off API calls keep
 # the coarse table.  Starts at 128: a 64-frame convert graph measures ~2.1×
@@ -51,11 +53,24 @@ def pad_to_bucket(arr, axis: int, buckets: Sequence[int] = DEFAULT_BUCKETS):
     return np.pad(np.asarray(arr), pad), n
 
 
+def allowed_batch_sizes(max_batch: int) -> tuple[int, ...]:
+    """Batch sizes the planner may emit for a given cap: powers of 2 up to
+    max_batch, plus max_batch itself.  One compiled program per
+    (bucket, size) pair, so the set stays small."""
+    sizes = []
+    b = 1
+    while b < max_batch:
+        sizes.append(b)
+        b *= 2
+    sizes.append(max_batch)
+    return tuple(sizes)
+
+
 def plan_groups(
     lengths: Sequence[int],
     *,
     max_batch: int = 8,
-    batch_sizes: Sequence[int] = (1, 2, 4, 8),
+    batch_sizes: Sequence[int] | None = None,
     fixed_cost_frames: int = 96,
     buckets: Sequence[int] = FINE_BUCKETS,
 ) -> list[tuple[list[int], int, int]]:
@@ -74,7 +89,8 @@ def plan_groups(
 
     by dynamic programming over the length-sorted order (optimal groups are
     contiguous in sorted order because group cost depends only on its max
-    length and size).  Batch sizes are restricted to `batch_sizes` (rows
+    length and size).  Batch sizes are restricted to `batch_sizes` (default
+    `allowed_batch_sizes(max_batch)`: powers of 2 plus max_batch; rows
     padded up, fully masked) so the number of distinct compiled
     (bucket, batch) programs stays bounded.
 
@@ -86,14 +102,17 @@ def plan_groups(
     n = len(lengths)
     if n == 0:
         return []
-    allowed = sorted(b for b in batch_sizes if b <= max_batch) or [max_batch]
+    if batch_sizes is None:
+        allowed = list(allowed_batch_sizes(max_batch))
+    else:
+        allowed = sorted(b for b in batch_sizes if b <= max_batch) or [max_batch]
     order = sorted(range(n), key=lambda i: lengths[i])
 
     def row_pad(k: int) -> int:
         for b in allowed:
             if b >= k:
                 return b
-        return allowed[-1]
+        raise ValueError(f"group size {k} exceeds largest allowed batch {allowed[-1]}")
 
     max_k = min(allowed[-1], n)
     # DP over sorted prefix: cost[i] = min over last-group size k

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from openvoice_tpu.config import SynthesizerConfig
 from openvoice_tpu.models import synthesizer as S
-from openvoice_tpu.runtime.bucketing import plan_groups
+from openvoice_tpu.runtime.bucketing import allowed_batch_sizes, plan_groups
 from openvoice_tpu.runtime.profiler import METRICS, trace
 
 
@@ -63,8 +63,8 @@ class ConvertBatcher:
         # serving graph (models/synthesizer.py::make_dec_cache)
         self.dec_cache = S.make_dec_cache(params, cfg) if fast else None
         self.max_batch = max_batch
-        # largest batch size the planner can emit (pow2-padded, ≤ max_batch)
-        self._full_batch = max(b for b in (1, 2, 4, 8) if b <= max_batch)
+        # largest batch size the planner can emit (same set plan_groups uses)
+        self._full_batch = max(allowed_batch_sizes(max_batch))
         self.max_wait_s = max_wait_ms / 1e3
         self._q: queue.Queue[ConvertRequest | None] = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -105,6 +105,22 @@ class ConvertBatcher:
                 break
             if isinstance(item, ConvertRequest):
                 pending.append(item)
+            # drain whatever else already arrived before planning: replanning
+            # once per burst instead of per request keeps backlog handling
+            # O(B log B), not O(B^2) on the single scheduler thread
+            stop = False
+            while True:
+                try:
+                    extra = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if extra is None:
+                    stop = True
+                    break
+                pending.append(extra)
+
+            if stop:
+                break
 
             now = time.perf_counter()
             if not pending:

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from openvoice_tpu.runtime.bucketing import (
     DEFAULT_BUCKETS,
     FINE_BUCKETS,
+    allowed_batch_sizes,
     pad_to_bucket,
     plan_groups,
     round_up_to_bucket,
@@ -120,6 +121,21 @@ def test_plan_groups_structure():
     # similar lengths cluster together: the two ~700s share a group
     g_long = [idx for idx, _, _ in plan if 1 in idx][0]
     assert 4 in g_long
+
+
+def test_allowed_batch_sizes():
+    assert allowed_batch_sizes(8) == (1, 2, 4, 8)
+    assert allowed_batch_sizes(1) == (1,)
+    # non-pow2 and >8 caps are honored, not silently clipped
+    assert allowed_batch_sizes(6) == (1, 2, 4, 6)
+    assert allowed_batch_sizes(16) == (1, 2, 4, 8, 16)
+
+
+def test_plan_groups_honors_large_max_batch():
+    plan = plan_groups([100] * 16, max_batch=16)
+    assert len(plan) == 1
+    idx, _, padded_batch = plan[0]
+    assert len(idx) == 16 and padded_batch == 16
 
 
 def test_plan_groups_empty_and_single():
