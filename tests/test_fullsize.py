@@ -1,0 +1,176 @@
+"""Full-checkpoint-scale import + real-resource end-to-end parity.
+
+VERDICT r1 missing #1: the importer had only ever run on small random-init
+configs.  These tests (a) import a random torch ``SynthesizerTrn`` state_dict
+at the REAL released-checkpoint dimensions (reference models.py:428-464 with
+the shipped config.json values) and require an empty missing/unexpected
+report, and (b) run the actual bundled demo audio
+(`/root/reference/resources/*.mp3`) through the native mp3 decoder →
+extract_se → convert and assert numerical agreement with the torch oracle
+given the same random weights (reference api.py:114-160 flow).
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from tests import oracle
+from tests.oracle import SMALL_CONVERTER
+
+import jax.numpy as jnp
+
+from openvoice_tpu.ckpt.torch_import import import_synthesizer
+
+RESOURCES = "/root/reference/resources"
+
+# Released V2 converter checkpoint dimensions (checkpoints_v2 config.json;
+# structural sources: api.py:23-28, models.py:404-425).
+FULL_V2_CONVERTER = dict(
+    n_vocab=0,
+    spec_channels=513,  # filter_length 1024 // 2 + 1 (api.py:25)
+    inter_channels=192,
+    hidden_channels=192,
+    filter_channels=768,
+    n_heads=2,
+    n_layers=6,
+    kernel_size=3,
+    p_dropout=0.1,
+    resblock="1",
+    resblock_kernel_sizes=(3, 7, 11),
+    resblock_dilation_sizes=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+    upsample_rates=(8, 8, 2, 2),
+    upsample_initial_channel=512,
+    upsample_kernel_sizes=(16, 16, 4, 4),
+    n_speakers=0,
+    gin_channels=256,
+    zero_g=True,
+)
+
+# V1 base-speaker TTS at full scale: text path + style-speaker table.
+FULL_V1_TTS = dict(FULL_V2_CONVERTER, n_vocab=87, n_speakers=10, zero_g=False)
+
+
+@pytest.mark.parametrize("kw", [FULL_V2_CONVERTER, FULL_V1_TTS], ids=["v2_converter", "v1_tts"])
+def test_fullsize_import_is_clean(kw):
+    """Importing a full-dimension random state_dict must consume every key and
+    miss none (strict=False would hide a silent mismatch, api.py:37)."""
+    model = oracle.build_torch_synthesizer(kw, seed=11)
+    cfg = oracle.jax_config_for(kw)
+    params, report = import_synthesizer(oracle.state_dict_numpy(model), cfg)
+    assert report["missing"] == [], report["missing"]
+    assert report["unexpected"] == [], report["unexpected"]
+    # spot-check shapes at real scale
+    assert params["enc_q"]["pre"]["w"].shape == (1, 513, 192)
+    assert params["dec"]["ups"][0]["w"].shape == (16, 512, 256)
+    if kw["n_speakers"]:
+        assert params["emb_g"].shape == (10, 256)
+        assert params["enc_p"]["emb"].shape == (87, 192)
+
+
+@pytest.fixture(scope="module")
+def small_rig():
+    """Small-dim model pair (torch oracle + imported JAX params) with STFT
+    settings consistent with spec_channels=129 so real audio can flow."""
+    from openvoice_tpu.api import ToneColorConverter
+
+    model = oracle.build_torch_synthesizer(seed=3)
+    cfg = oracle.jax_config_for(SMALL_CONVERTER)
+    cfg = dataclasses.replace(cfg, filter_length=256, hop_length=64, win_length=256)
+    params, report = import_synthesizer(oracle.state_dict_numpy(model), cfg)
+    assert not report["missing"]
+    conv = ToneColorConverter(cfg=cfg, enable_watermark=False)
+    conv.params = params
+    return model, cfg, conv
+
+
+def _torch_spec(audio: np.ndarray, cfg) -> torch.Tensor:
+    """torch.stft with the reference's exact framing (mel_processing.py:40-75):
+    reflect pad (n_fft-hop)/2, Hann, center=False, sqrt(|.|^2 + 1e-6).
+    (openvoice.mel_processing itself imports librosa, absent in this image.)"""
+    y = torch.from_numpy(audio)[None]
+    n_fft, hop, win = cfg.filter_length, cfg.hop_length, cfg.win_length
+    pad = (n_fft - hop) // 2
+    y = torch.nn.functional.pad(y[None], (pad, pad), mode="reflect")[0]
+    spec = torch.stft(
+        y, n_fft, hop_length=hop, win_length=win,
+        window=torch.hann_window(win), center=False,
+        normalized=False, onesided=True, return_complex=True,
+    )
+    return torch.sqrt(spec.real.pow(2) + spec.imag.pow(2) + 1e-6)
+
+
+@pytest.mark.skipif(not os.path.isdir(RESOURCES), reason="reference resources absent")
+def test_e2e_real_mp3_extract_and_convert_parity(small_rig):
+    """Bundled demo mp3s through the native decoder → extract_se → convert,
+    vs the torch oracle on identical waveforms (api.py:114-160)."""
+    from openvoice_tpu.audio import native
+    from openvoice_tpu.audio.io import load_audio
+
+    if not native.available():
+        pytest.skip("native mp3 decoder not built")
+    model, cfg, conv = small_rig
+
+    # --- speaker embeddings from the real recordings (mp3 → 22.05 kHz mono)
+    tgt_path = os.path.join(RESOURCES, "demo_speaker0.mp3")
+    src_path = os.path.join(RESOURCES, "example_reference.mp3")
+    tgt_audio, sr = load_audio(tgt_path, sr=cfg.sampling_rate)
+    src_audio, _ = load_audio(src_path, sr=cfg.sampling_rate)
+    assert sr == cfg.sampling_rate and len(tgt_audio) > cfg.sampling_rate
+
+    # keep CPU runtime bounded; slices stay real speech
+    tgt_audio = tgt_audio[: 4 * sr].astype(np.float32)
+    src_audio = src_audio[2 * sr : 6 * sr].astype(np.float32)
+
+    se_ours = {}
+    se_torch = {}
+    for name, audio in (("src", src_audio), ("tgt", tgt_audio)):
+        se_ours[name] = conv.extract_se([audio_to_tmp_wav(audio, sr)])  # [1, gin, 1]
+        with torch.no_grad():
+            spec = _torch_spec(audio, cfg)
+            se_torch[name] = model.ref_enc(spec.transpose(1, 2)).unsqueeze(-1)
+        np.testing.assert_allclose(
+            se_ours[name][0, :, 0], se_torch[name][0, :, 0].numpy(), atol=3e-4
+        )
+
+    # --- conversion, deterministic at tau=0 (models.py:220)
+    out_ours = conv.convert(src_audio, se_ours["src"], se_ours["tgt"], tau=0.0, message="")
+    with torch.no_grad():
+        spec = _torch_spec(src_audio, cfg)
+        out_torch = model.voice_conversion(
+            spec, torch.tensor([spec.shape[-1]]),
+            se_torch["src"], se_torch["tgt"], tau=0.0,
+        )[0][0, 0].numpy()
+
+    n = min(len(out_ours), len(out_torch))
+    assert abs(len(out_ours) - len(out_torch)) <= cfg.upsample_factor
+    np.testing.assert_allclose(out_ours[:n], out_torch[:n], atol=2e-3)
+
+    # north-star check: mel spectrograms of the two outputs agree
+    from openvoice_tpu.audio.mel import mel_filterbank
+
+    mel_fb = mel_filterbank(cfg.sampling_rate, cfg.filter_length, 80, 0.0, None)
+    s_ours = np.asarray(_torch_spec(out_ours[:n], cfg)[0])
+    s_torch = np.asarray(_torch_spec(out_torch[:n], cfg)[0])
+    mel_ours = np.log(np.clip(mel_fb @ s_ours, 1e-5, None))
+    mel_torch = np.log(np.clip(mel_fb @ s_torch, 1e-5, None))
+    np.testing.assert_allclose(mel_ours, mel_torch, atol=5e-3)
+
+
+_TMPDIR = None
+
+
+def audio_to_tmp_wav(audio: np.ndarray, sr: int) -> str:
+    """extract_se takes file paths (api.py:114); round-trip via our writer."""
+    global _TMPDIR
+    import tempfile
+
+    from openvoice_tpu.audio.io import write_wav
+
+    if _TMPDIR is None:
+        _TMPDIR = tempfile.mkdtemp(prefix="ovt_e2e_")
+    path = os.path.join(_TMPDIR, f"clip_{abs(hash(audio.tobytes())) % 10**8}.wav")
+    write_wav(path, audio, sr, subtype="float32")
+    return path
