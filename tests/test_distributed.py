@@ -72,6 +72,62 @@ def test_sequence_parallel_rejects_short_shards(setup):
         )
 
 
+def test_tensor_parallel_generator_matches_single_device(setup):
+    """Channel-sharded HiFi-GAN inference (TP): params placed via the
+    runtime/mesh.py param rules, forward jitted over a {data:2, model:4}
+    mesh, output must equal the single-device result.  Proves the
+    param_spec rules work outside the training step (VERDICT r1 §2.3)."""
+    from functools import partial
+
+    from openvoice_tpu.nn.hifigan import apply_generator
+    from openvoice_tpu.runtime.mesh import batch_sharding, params_shardings, shard_params
+
+    params, spec, lens, g_src, g_tgt, noise = setup
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.standard_normal((B, T, TINY.inter_channels)).astype(np.float32))
+
+    fwd = partial(
+        apply_generator,
+        resblock_kind=TINY.resblock,
+        resblock_dilation_sizes=TINY.resblock_dilation_sizes,
+        upsample_rates=TINY.upsample_rates,
+        upsample_kernel_sizes=TINY.upsample_kernel_sizes,
+    )
+    ref = fwd(params["dec"], z, g=g_tgt)
+
+    mesh = make_mesh(8, data=2, model=4)
+    sharded = shard_params(params, mesh)["dec"]
+    # the rules must actually shard the wide decoder tensors on this mesh
+    specs = params_shardings(params, mesh)["dec"]
+    assert specs["conv_pre"]["w"].spec == jax.sharding.PartitionSpec(None, None, "model")
+    assert specs["ups"][0]["w"].spec == jax.sharding.PartitionSpec(None, "model", None)
+
+    z_sh = jax.device_put(z, batch_sharding(mesh))
+    g_sh = jax.device_put(g_tgt, batch_sharding(mesh))
+    out = jax.jit(fwd)(sharded, z_sh, g=g_sh)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_tensor_parallel_voice_conversion_matches_single_device(setup):
+    """Full convert graph with TP-sharded params + DP-sharded batch on the
+    8-device virtual mesh: the GSPMD-partitioned graph must reproduce the
+    single-device numerics."""
+    params, spec, lens, g_src, g_tgt, noise = setup
+    ref, _ = S.voice_conversion(params, TINY, spec, lens, g_src, g_tgt, 0.3, noise)
+
+    from openvoice_tpu.runtime.mesh import batch_sharding, shard_params
+
+    mesh = make_mesh(8, data=2, model=4)
+    sharded = shard_params(params, mesh)
+    bs = batch_sharding(mesh)
+    args = [jax.device_put(a, bs) for a in (spec, lens, g_src, g_tgt, noise)]
+    out, _ = jax.jit(
+        lambda p, s, l, gs, gt, n: S.voice_conversion(p, TINY, s, l, gs, gt, 0.3, n)
+    )(sharded, *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
 def test_streaming_matches_one_shot():
     """Blockwise streaming conversion (runtime/streaming.py) must equal the
     one-shot graph: interior chunks see identical neighbor frames, edge
