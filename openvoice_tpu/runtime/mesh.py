@@ -51,6 +51,39 @@ def make_mesh(n_devices: int | None = None, data: int | None = None, model: int 
     return Mesh(arr, ("data", "model"))
 
 
+def make_hybrid_mesh(devices=None, model: int = 1) -> Mesh:
+    """DCN-aware ("data", "model") mesh for multi-host slices.
+
+    Model-axis groups are confined to one host's devices so TP collectives
+    ride ICI; the data axis's outer stride crosses hosts so only DP traffic
+    (batch dispatch, gradient psum) touches DCN — the layout recipe of
+    SURVEY.md §2.3/§5.8.  Host membership comes from ``device.process_index``
+    (0 for all devices in a single-process run, which degrades to make_mesh).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    by_host: dict[int, list] = {}
+    for d in devices:
+        by_host.setdefault(getattr(d, "process_index", 0), []).append(d)
+    hosts = [by_host[k] for k in sorted(by_host)]
+    per_host = len(hosts[0])
+    if any(len(h) != per_host for h in hosts):
+        raise ValueError("hosts expose unequal device counts")
+    if per_host % model != 0:
+        raise ValueError(
+            f"model={model} does not fit within one host's {per_host} devices; "
+            "a model group crossing hosts would put TP collectives on DCN"
+        )
+    rows = []
+    for h in hosts:
+        for i in range(per_host // model):
+            rows.append(h[i * model : (i + 1) * model])
+    arr = np.empty((len(rows), model), dtype=object)
+    for i, r in enumerate(rows):
+        for j, d in enumerate(r):
+            arr[i, j] = d
+    return Mesh(arr, ("data", "model"))
+
+
 # ---------------------------------------------------------------------------
 # Parameter sharding rules
 # ---------------------------------------------------------------------------

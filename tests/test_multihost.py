@@ -25,6 +25,53 @@ def test_global_mesh_rejects_oversized_model_axis():
         MH.global_mesh(model_parallel=jax.local_device_count() * 2)
 
 
+class _FakeDev:
+    def __init__(self, pid: int, i: int):
+        self.process_index = pid
+        self.id = i
+
+    def __repr__(self):
+        return f"d{self.id}@h{self.process_index}"
+
+
+def test_hybrid_mesh_keeps_model_axis_on_one_host():
+    """DCN-hierarchy layout (VERDICT r1 next #6): every model-axis group must
+    live on a single host (TP on ICI); the data axis spans hosts (DP on DCN)."""
+    from openvoice_tpu.runtime.mesh import make_hybrid_mesh
+
+    devs = [_FakeDev(pid, pid * 4 + i) for pid in range(2) for i in range(4)]
+    mesh = make_hybrid_mesh(devs, model=2)
+    assert mesh.axis_names == ("data", "model")
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    arr = mesh.devices
+    for row in arr:  # each TP group: one host
+        assert len({d.process_index for d in row}) == 1
+    # DP axis crosses hosts: first half host 0, second half host 1
+    assert [row[0].process_index for row in arr] == [0, 0, 1, 1]
+
+
+def test_hybrid_mesh_rejects_cross_host_model_group():
+    from openvoice_tpu.runtime.mesh import make_hybrid_mesh
+
+    devs = [_FakeDev(pid, pid * 2 + i) for pid in range(4) for i in range(2)]
+    with pytest.raises(ValueError, match="DCN"):
+        make_hybrid_mesh(devs, model=4)
+
+
+def test_hybrid_mesh_single_process_executes():
+    """Degenerate single-host case on the 8-device virtual mesh still jits."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from openvoice_tpu.runtime.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(model=2)
+    assert dict(mesh.shape) == {"data": jax.device_count() // 2, "model": 2}
+    x = jax.device_put(jnp.ones((8, 16)), NamedSharding(mesh, P("data", "model")))
+    y = jax.jit(lambda a: (a * 2).sum())(x)
+    assert float(y) == 256.0
+
+
 def test_heartbeat_and_fault_injection():
     mon = MH.HeartbeatMonitor(timeout_s=30.0)
     assert mon.beat()

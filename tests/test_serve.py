@@ -66,6 +66,71 @@ def test_batcher_result_independent_of_batchmates(batcher):
     np.testing.assert_allclose(solo, batched, atol=2e-5)
 
 
+def test_256_stream_with_fault_injection():
+    """BASELINE config 5 as a test: a 256-utterance concurrent stream with a
+    fault injected mid-stream.  Every request must complete — converted
+    audio of the right shape, or an isolated error for the poisoned batch
+    only — and tail latency stays bounded (no hang, no lost future)."""
+    import threading
+
+    from openvoice_tpu.models import synthesizer as SY
+    from openvoice_tpu.runtime.profiler import METRICS
+
+    params = SY.init_synthesizer(jax.random.PRNGKey(1), TINY)
+    b = ConvertBatcher(params, TINY, max_batch=8, max_wait_ms=10)
+
+    real = SY.voice_conversion_jit
+    calls = {"n": 0}
+
+    def poisoned(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 3:  # one mid-stream device failure
+            raise RuntimeError("injected fault: device unavailable")
+        return real(*args, **kwargs)
+
+    SY.voice_conversion_jit = poisoned
+    try:
+        b.start()
+        n_req, n_threads = 256, 8
+        lengths = [(48, 56, 64)[i % 3] for i in range(n_req)]
+        futs: list = [None] * n_req
+
+        def submitter(tid: int):
+            for i in range(tid, n_req, n_threads):
+                futs[i] = b.submit(_req(lengths[i], seed=i))
+                time.sleep(0.001)
+
+        threads = [threading.Thread(target=submitter, args=(t,)) for t in range(n_threads)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        ok, failed, latencies = 0, 0, []
+        for i, f in enumerate(futs):
+            try:
+                audio = f.result(timeout=600)
+                assert audio.shape == (lengths[i] * TINY.upsample_factor,)
+                assert np.isfinite(audio).all()
+                ok += 1
+            except RuntimeError as exc:
+                assert "injected fault" in str(exc)
+                failed += 1
+            latencies.append(time.perf_counter() - t0)
+    finally:
+        SY.voice_conversion_jit = real
+        b.stop()
+
+    assert ok + failed == n_req  # no lost requests
+    assert 0 < failed <= 8  # exactly the poisoned batch, isolated
+    assert ok >= n_req - 8
+    p99 = sorted(latencies)[int(0.99 * n_req)]
+    assert p99 < 300.0, f"p99 {p99:.1f}s — stream stalled"
+    snap = METRICS.snapshot()
+    assert snap["counters"].get("batch_failures", 0) >= 1
+
+
 def test_metrics_flow(batcher):
     from openvoice_tpu.runtime.profiler import METRICS
 
