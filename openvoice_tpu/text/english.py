@@ -238,6 +238,16 @@ def register_lexicon(entries: dict[str, str]) -> None:
     _LEXICON.update({k.lower(): v for k, v in entries.items()})
 
 
+# frequency-lexicon data module (text/en_lexicon.py): ~900 common words in
+# eng_to_ipa conventions so everyday vocabulary bypasses the rule engine —
+# the inline table above keeps priority for its hand-checked entries
+from openvoice_tpu.text.en_lexicon import LEXICON as _FREQ_LEXICON  # noqa: E402
+
+for _w, _p in _FREQ_LEXICON.items():
+    _LEXICON.setdefault(_w, _p)
+del _w, _p
+
+
 # ---------------------------------------------------------------------------
 # G2P: NRL-style letter-to-sound rules (fallback for out-of-lexicon words)
 #

@@ -196,3 +196,144 @@ def test_cleaned_text_to_sequence_vits2():
     start = language_tone_start_map[lang]
     assert tones == [start, start + 1, start + 2]
     assert lang_ids == [langs.index(lang)] * 3
+
+
+# ---------------------------------------------------------------------------
+# English lexicon coverage (VERDICT r1 next #2): measured bound on how much of
+# running natural-English text is served by the pronunciation lexicon (i.e.
+# CMU-convention pronunciations) rather than the letter-to-sound rule engine.
+# ---------------------------------------------------------------------------
+
+_NATURAL_CORPUS = """
+The sun was setting behind the mountains when she finally reached the small
+town. People were walking home from work, and the streets were full of
+children playing games. A young man stood near the door of the old school
+building, watching the birds fly over the river. He had spent many years in
+this place, teaching students about music and art, and he knew every family
+by name. His father had been a doctor here, and his mother ran a small
+company that made paper products. Life was simple but good.
+
+That night, the community came together for an important meeting. The local
+government wanted to build a new road through the center of town, and many
+people were afraid it would change everything. The president of the council
+explained the plan carefully. She showed pictures of the project and answered
+difficult questions about cost, safety, and the effect on local business.
+Some supported the idea because it would bring jobs and money. Others
+believed the town should stay the way it was.
+
+In the morning, the teacher took his class to the water to study the fish
+and plants that lived there. The students asked hundreds of questions. Why is
+the sky blue? How do birds know where to go in winter? What makes the wind
+blow? He tried to answer each one, using stories and examples from history
+and science. The children wrote their ideas in little books and drew pictures
+of everything they saw. When the rain started to fall, they ran back laughing
+through the wet green fields.
+
+Years later, one of those students became a famous writer. She remembered
+that day by the river as the moment she learned to love words. In her first
+book, she described the light on the water, the voice of her old teacher,
+and the feeling that the world was large and full of wonderful things
+waiting to be understood. Her family read every page. Her mother cried. Her
+father said it was the best thing he had ever read, and he had read many
+great books in his long life.
+
+The story of the town spread far and wide. Visitors came from other
+countries to see the famous river and the school where it all began. The
+road was finally built, but the people made sure it went around the center
+instead of through it. Business grew, children still played in the streets,
+and every summer evening the old men sat outside talking about the past,
+while the young looked toward the future with open eyes and strong hearts.
+
+On a cold night in December, the writer returned home for the first time in
+ten years. She walked slowly through the quiet streets, past the market and
+the white houses, until she reached the water. The moon was high and the air
+was clear. She thought about her mother and father, about the teacher who had
+given her so much, and about the simple power of a good question. Nothing
+important had really changed. A small girl sat by the river with a book in
+her hands, reading by the last light of day. The writer smiled, said good
+evening, and asked her what the story was about. The girl looked up with
+bright eyes and began to tell her everything.
+"""
+
+
+def test_english_lexicon_coverage_on_natural_text():
+    """≥95% of running words in natural English text must be served by the
+    lexicon (directly or via regular morphology), not the rule engine —
+    the measured bound published in docs/PARITY.md."""
+    import re
+
+    from openvoice_tpu.text.english import _LEXICON, normalize_english
+
+    text = normalize_english(_NATURAL_CORPUS)
+    words = re.findall(r"[a-z']+", text)
+    assert len(words) >= 500, len(words)
+
+    def in_lexicon(w: str) -> bool:
+        if w in _LEXICON:
+            return True
+        for suf in ("s", "es", "ed", "ing"):
+            if w.endswith(suf) and w[: -len(suf)] in _LEXICON:
+                return True
+        return False
+
+    covered = sum(1 for w in words if in_lexicon(w))
+    rate = covered / len(words)
+    missing = sorted({w for w in words if not in_lexicon(w)})
+    assert rate >= 0.95, (rate, missing[:40])
+
+
+def test_english_lexicon_entries_tokenize_into_inventory():
+    """Every lexicon pronunciation must survive the ipa2 pass and tokenize
+    with zero dropped symbols (the checkpoint contract)."""
+    from openvoice_tpu.text import default_symbols
+    from openvoice_tpu.text.english import _LEXICON, mark_dark_l
+
+    symset = set(default_symbols)
+    for w, p in _LEXICON.items():
+        p2 = mark_dark_l(p).replace("r", "ɹ").replace("ʤ", "dʒ").replace("ʧ", "tʃ")
+        dropped = [c for c in p2 if c not in symset]
+        assert not dropped, (w, p, dropped)
+
+
+def test_mandarin_polyphones_word_level():
+    """Common polyphones must read correctly through jieba word segmentation +
+    the word-level pinyin table (reference parity cases: 行/得/重/乐/长)."""
+    from openvoice_tpu.text.mandarin import chinese_to_ipa
+
+    # 银行 háng vs 行走 xíng
+    assert "xɑŋ↑" in chinese_to_ipa("银行")
+    assert "ʃiŋ↑" in chinese_to_ipa("行走")
+    # 音乐 yuè vs 快乐 lè
+    assert "ɥɛ↓" in chinese_to_ipa("音乐")
+    assert "lə↓" in chinese_to_ipa("快乐")
+    # 重要 zhòng vs 重新 chóng
+    assert chinese_to_ipa("重要").startswith("ts`⁼")
+    assert chinese_to_ipa("重新").startswith("ts`ʰ")
+    # 成长 zhǎng vs 长城 cháng
+    assert "ts`⁼ɑŋ↓↑" in chinese_to_ipa("成长")
+    assert "ts`ʰɑŋ↑" in chinese_to_ipa("长城")
+
+
+def test_mandarin_char_table_coverage():
+    """The embedded fallback covers everyday text: every hanzi in a natural
+    paragraph resolves to pinyin (no silent skips)."""
+    from openvoice_tpu.text.mandarin import _word_to_pinyin, _HAVE_PYPINYIN
+    import jieba
+
+    text = (
+        "今天早上我和朋友一起去公园散步。天气很好，阳光明亮，很多人在湖边"
+        "跑步和唱歌。我们坐在树下聊天，谈到了工作、学习和家里的事情。他说"
+        "他的公司最近发展得很快，但是他每天都很忙，没有时间休息。我告诉他"
+        "身体最重要，应该多运动，注意吃饭和睡觉。中午我们找了一家小饭馆，"
+        "点了几个菜，味道不错，价钱也便宜。吃完饭以后，我们走路回家，路上"
+        "看见一个小孩在学骑自行车，他的妈妈在旁边帮助他。"
+    )
+    hanzi = [ch for ch in text if "一" <= ch <= "鿿"]
+    words = [w for w in jieba.lcut(text) if any("一" <= c <= "鿿" for c in w)]
+    misses = []
+    for w in words:
+        syls = _word_to_pinyin(w)
+        n_hanzi = sum(1 for c in w if "一" <= c <= "鿿")
+        if len(syls) < n_hanzi:
+            misses.append(w)
+    assert not misses, misses
