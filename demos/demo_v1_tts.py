@@ -34,8 +34,9 @@ def main() -> None:
     ap.add_argument("--reference", default=None, help="target speaker recording")
     ap.add_argument("--output", default="outputs/demo_v1.wav")
     ap.add_argument("--parity", action="store_true",
-                    help="full-f32 decode (the parity mode; compiles for many\n"
-                         "minutes at full model size — bf16 serving mode is\n"
+                    help="full-f32 decode (checkpoint-parity mode; ~5 min on\n"
+                         "first run for XLA compiles, ~2 min warm via the\n"
+                         "persistent compile cache — bf16 serving mode is\n"
                          "the default, as in the served app)")
     args = ap.parse_args()
 

@@ -108,8 +108,13 @@ class OpenVoiceBaseClass:
         return report
 
     def init_random(self, seed: int = 0) -> None:
-        """Random weights (development / benchmarking without a checkpoint)."""
-        self.params = S.init_synthesizer(jax.random.PRNGKey(seed), self.cfg)
+        """Random weights (development / benchmarking without a checkpoint).
+
+        Jitted: eager init dispatches hundreds of tiny RNG ops (measured
+        ~54 s through the remote-dispatch tunnel); one compiled+cached graph
+        runs in well under a second."""
+        init = jax.jit(S.init_synthesizer, static_argnames=("cfg",))
+        self.params = init(jax.random.PRNGKey(seed), self.cfg)
         self._dec_cache = None
 
     def _require_params(self) -> dict:
@@ -226,9 +231,13 @@ class ToneColorConverter(OpenVoiceBaseClass):
 
         g_src = self._as_g(src_se)
         g_tgt = self._as_g(tgt_se)
-        noise = jax.random.normal(
-            jax.random.PRNGKey(seed), (1, bucket, cfg.inter_channels), jnp.float32
-        )
+        # host-side noise: an eager jax.random.normal here is a blocking
+        # device round-trip through the dispatch tunnel (measured minutes of
+        # first-call latency; same fix as serve/batcher.py).  numpy's
+        # row-major fill also makes convert/convert_streaming draws agree on
+        # the shared prefix for the same seed.
+        noise = np.random.default_rng(seed).standard_normal(
+            (1, bucket, cfg.inter_channels)).astype(np.float32)
         out = _jit_convert(
             params, cfg, jnp.asarray(buf)[None], jnp.asarray([n_frames]),
             g_src, g_tgt, float(tau), noise, fast=fast,
@@ -274,9 +283,8 @@ class ToneColorConverter(OpenVoiceBaseClass):
             _spec_btf(jnp.asarray(padded)[None], cfg.filter_length, cfg.hop_length,
                       cfg.win_length)
         )
-        noise = jax.random.normal(
-            jax.random.PRNGKey(seed), (1, n_frames, cfg.inter_channels), jnp.float32
-        )
+        noise = np.random.default_rng(seed).standard_normal(
+            (1, n_frames, cfg.inter_channels)).astype(np.float32)
         from openvoice_tpu.runtime.streaming import voice_conversion_streaming
 
         out = voice_conversion_streaming(
@@ -399,23 +407,39 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
         speed: float = 1.0,
         seed: int = 0,
     ):
+        """Sequential per-sentence TTS (reference api.py:73-98 semantics).
+
+        All sampling noise is drawn host-side with numpy (an eager
+        jax.random call is a blocking first-use device round-trip measured
+        in *minutes* through remote-dispatch tunnels) and fed into the two
+        jitted stages; tts_batched draws the identical noise, so the two
+        paths produce the same audio for the same seed."""
         cfg = self.cfg
         params = self._require_params()
         token_seqs, speaker_id = self._sentence_tokens(text, speaker, language)
+        noise_rngs = _sentence_noise_rngs(seed, len(token_seqs))
         pieces = []
-        key = jax.random.PRNGKey(seed)
-        for tokens in token_seqs:
+        for i, tokens in enumerate(token_seqs):
             t_bucket = round_up_to_bucket(len(tokens))
-            padded = np.zeros(t_bucket, np.int32)
-            padded[: len(tokens)] = tokens
-            key, sub = jax.random.split(key)
-            audio, lengths = S.infer(
-                params, cfg, jnp.asarray(padded)[None], jnp.asarray([len(tokens)]),
-                jnp.asarray([speaker_id]), sub,
-                noise_scale=0.667, noise_scale_w=0.6,
-                length_scale=1.0 / speed, sdp_ratio=0.2,
+            padded = np.zeros((1, t_bucket), np.int32)
+            padded[0, : len(tokens)] = tokens
+            rng_w, rng_y = noise_rngs[i]
+            noise_w = rng_w.standard_normal((1, t_bucket, 2)).astype(np.float32)
+            enc = S.tts_encode_jit(
+                params, cfg, jnp.asarray(padded), jnp.asarray([len(tokens)]),
+                jnp.asarray([speaker_id]), None,
+                noise_scale_w=0.6, length_scale=1.0 / speed, sdp_ratio=0.2,
+                noise_w=jnp.asarray(noise_w),
             )
-            pieces.append(audio[0, : lengths[0]])
+            total = int(np.asarray(enc.w_ceil).sum())
+            fb = round_up_to_bucket(max(total, 1))
+            noise = rng_y.standard_normal((1, fb, cfg.inter_channels)).astype(np.float32)
+            audio, y_mask = S.tts_decode_jit(
+                params, cfg, enc, fb, jnp.asarray(noise), noise_scale=0.667,
+            )
+            audio = np.asarray(audio[..., 0])
+            y_len = int(np.asarray(jnp.sum(y_mask[..., 0], axis=-1))[0])
+            pieces.append(audio[0, : y_len * cfg.upsample_factor])
 
         out = _concat_with_gaps(pieces, cfg.sampling_rate, speed)
         if output_path is None:
@@ -452,14 +476,8 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
             write_wav(output_path, out, cfg.sampling_rate)
             return None
 
-        # per-sentence keys in tts()'s split order → identical noise draws
-        key = jax.random.PRNGKey(seed)
-        rngs_w, rngs_y = [], []
-        for _ in range(n):
-            key, sub = jax.random.split(key)
-            rw, ry = jax.random.split(sub)
-            rngs_w.append(rw)
-            rngs_y.append(ry)
+        # per-sentence numpy generators in tts()'s order → identical draws
+        noise_rngs = _sentence_noise_rngs(seed, n)
 
         # ---- encode, grouped by token bucket --------------------------------
         enc_rows: list[dict | None] = [None] * n
@@ -474,7 +492,7 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
             for r, i in enumerate(idxs):
                 toks[r, : len(token_seqs[i])] = token_seqs[i]
                 lens[r] = len(token_seqs[i])
-                noise_w[r] = np.asarray(jax.random.normal(rngs_w[i], (1, tb, 2)))[0]
+                noise_w[r] = noise_rngs[i][0].standard_normal((tb, 2)).astype(np.float32)
             enc = S.tts_encode_jit(
                 params, cfg, jnp.asarray(toks), jnp.asarray(lens),
                 jnp.asarray([speaker_id] * m), None,
@@ -513,7 +531,8 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
                 g=jnp.asarray(np.repeat(g_row[None], m, axis=0)),
             )
             noise = np.stack([
-                np.asarray(jax.random.normal(rngs_y[i], (1, fb, inter)))[0] for i in idxs
+                noise_rngs[i][1].standard_normal((fb, inter)).astype(np.float32)
+                for i in idxs
             ])
             audio, y_mask = S.tts_decode_jit(
                 params, cfg, enc, fb, jnp.asarray(noise),
@@ -530,6 +549,16 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
             return out
         write_wav(output_path, out, cfg.sampling_rate)
         return None
+
+
+def _sentence_noise_rngs(seed: int, n: int) -> list[tuple[np.random.Generator, np.random.Generator]]:
+    """Per-sentence (sdp-noise, decode-noise) numpy generators.  Shared by
+    tts() and tts_batched() so their outputs match for the same seed."""
+    out = []
+    for child in np.random.SeedSequence(seed).spawn(n):
+        w_ss, y_ss = child.spawn(2)
+        out.append((np.random.default_rng(w_ss), np.random.default_rng(y_ss)))
+    return out
 
 
 def _concat_with_gaps(pieces: list[np.ndarray], sr: int, speed: float) -> np.ndarray:

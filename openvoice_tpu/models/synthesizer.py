@@ -585,7 +585,12 @@ def infer(
         from openvoice_tpu.runtime.bucketing import round_up_to_bucket
 
         max_frames = round_up_to_bucket(max(total, 1))
-    noise = jax.random.normal(rng_y, (tokens.shape[0], max_frames, cfg.inter_channels))
+    # decode noise drawn host-side: an eager jax.random.normal is a blocking
+    # first-use device round-trip (minutes through remote-dispatch tunnels);
+    # the numpy stream is seeded from the key so determinism is kept
+    host_rng = np.random.default_rng(np.asarray(rng_y, np.uint32))
+    noise = jnp.asarray(host_rng.standard_normal(
+        (tokens.shape[0], max_frames, cfg.inter_channels)).astype(np.float32))
     audio, y_mask = tts_decode_jit(params, cfg, enc, max_frames, noise, noise_scale=noise_scale)
     y_lengths = np.asarray(jnp.sum(y_mask[..., 0], axis=-1)).astype(np.int64)
     return np.asarray(audio[..., 0]), y_lengths * cfg.upsample_factor
