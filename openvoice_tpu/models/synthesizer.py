@@ -311,15 +311,17 @@ def posterior_encode(
     g: jnp.ndarray | None,
     tau: float | jnp.ndarray,
     noise: jnp.ndarray,
+    wn_stack: tuple | None = None,
 ):
     """spec: [B, T, n_freq] → z, m, logs (each [B, T, inter]).
 
     z = (m + noise · tau · exp(logs)) · mask  (models.py:212-221); the caller
     supplies `noise` (standard normal) so RNG policy stays external — tau=0
     with zero noise gives the deterministic path used by parity tests.
+    wn_stack: optional pre-packed WN weights (make_dec_cache / apply_wn).
     """
     x = conv1d(spec, params["enc_q"]["pre"]["w"], params["enc_q"]["pre"]["b"]) * spec_mask
-    x = apply_wn(params["enc_q"]["wn"], x, spec_mask, g=g)
+    x = apply_wn(params["enc_q"]["wn"], x, spec_mask, g=g, stacked=wn_stack)
     stats = conv1d(x, params["enc_q"]["proj"]["w"], params["enc_q"]["proj"]["b"]) * spec_mask
     m, logs = stats[..., : cfg.inter_channels], stats[..., cfg.inter_channels :]
     z = (m + noise * tau * jnp.exp(logs)) * spec_mask
@@ -335,18 +337,61 @@ def extract_tone_color(
 
 
 def make_dec_cache(params: dict, cfg: SynthesizerConfig, dtype=jnp.bfloat16) -> dict:
-    """One-time host-side packing of the decoder's fused-kernel weights.
-    Pass the result as `dec_cache` to voice_conversion / tts_decode so the
-    serving graph reads pre-packed tensors instead of re-packing per call."""
-    from openvoice_tpu.nn.hifigan import pack_generator_caches
+    """One-time host-side packing of the serving graph's pre-packed weights.
 
-    return pack_generator_caches(
+    Pass the result as `dec_cache` to voice_conversion / tts_decode so the
+    serving graph reads pre-packed tensors instead of re-packing per call.
+    Besides the decoder's fused-stage weights ("mrf{i}"/"upmrf{i}"/"tail"
+    keys — consumed by apply_generator's `packed`), the reserved "wn" key
+    carries pre-stacked WaveNet weights for the posterior encoder and each
+    coupling layer (~14 MB of per-call stacking copies otherwise)."""
+    from openvoice_tpu.nn.hifigan import pack_generator_caches
+    from openvoice_tpu.ops.wn_pallas import stack_wn_params
+
+    cache = pack_generator_caches(
         params["dec"],
         resblock_kind=cfg.resblock,
         resblock_dilation_sizes=cfg.resblock_dilation_sizes,
         upsample_rates=cfg.upsample_rates,
         upsample_kernel_sizes=cfg.upsample_kernel_sizes,
         dtype=dtype,
+    )
+    cache["wn"] = {
+        "enc_q": stack_wn_params(
+            params["enc_q"]["wn"], cfg.hidden_channels, dtype=dtype
+        ),
+        "flow": [
+            stack_wn_params(lp["wn"], cfg.hidden_channels, dtype=dtype)
+            for lp in params["flow"]["layers"]
+        ],
+    }
+    # whole-direction fused coupling block (ops/coupling_pallas.py): both
+    # directions packed with the inter-coupling Flips absorbed into the
+    # pre/post matrices
+    from openvoice_tpu.ops.coupling_pallas import pack_coupling_block
+
+    cache["coupling"] = {
+        "fwd": pack_coupling_block(
+            params["flow"], cfg.hidden_channels, reverse=False, dtype=dtype
+        ),
+        "rev": pack_coupling_block(
+            params["flow"], cfg.hidden_channels, reverse=True, dtype=dtype
+        ),
+    }
+    return cache
+
+
+def _use_fused_coupling(x: jnp.ndarray, t_frames: int) -> bool:
+    """Serving-mode guard for the whole-direction fused coupling kernel."""
+    import jax as _jax
+
+    from openvoice_tpu.ops.coupling_pallas import MAX_FUSED_ROWS
+
+    return (
+        x.dtype == jnp.bfloat16
+        and _jax.default_backend() == "tpu"
+        and t_frames % 8 == 0
+        and t_frames <= MAX_FUSED_ROWS
     )
 
 
@@ -418,9 +463,40 @@ def voice_conversion_masked(
     else:
         enc_flow_params = params
 
-    z, _, _ = posterior_encode(enc_flow_params, cfg, spec, y_mask, g_enc, tau, noise)
-    z_p = apply_coupling_block(enc_flow_params["flow"], z, y_mask, g=g_src, reverse=False)
-    z_hat = apply_coupling_block(enc_flow_params["flow"], z_p, y_mask, g=g_tgt, reverse=True)
+    wn_cache = dec_cache.get("wn") if (fast and dec_cache is not None) else None
+    z, _, _ = posterior_encode(
+        enc_flow_params, cfg, spec, y_mask, g_enc, tau, noise,
+        wn_stack=wn_cache["enc_q"] if wn_cache else None,
+    )
+
+    cpl_cache = dec_cache.get("coupling") if (fast and dec_cache is not None) else None
+    t_frames = spec.shape[1]
+    if cpl_cache is not None and _use_fused_coupling(z, t_frames):
+        from openvoice_tpu.ops.coupling_pallas import (
+            coupling_g_stack,
+            fused_coupling_block,
+        )
+
+        lengths = jnp.sum(y_mask[:, :, 0].astype(jnp.int32), axis=1)
+        flow_p = enc_flow_params["flow"]
+        g_fwd = coupling_g_stack(flow_p, g_src, reverse=False, dtype=z.dtype)
+        g_rev = coupling_g_stack(flow_p, g_tgt, reverse=True, dtype=z.dtype)
+        z_p = fused_coupling_block(
+            z, lengths, cpl_cache["fwd"], g_fwd, kernel_size=cfg.flow_kernel_size
+        )
+        z_hat = fused_coupling_block(
+            z_p, lengths, cpl_cache["rev"], g_rev, kernel_size=cfg.flow_kernel_size
+        )
+    else:
+        flow_stacks = wn_cache["flow"] if wn_cache else None
+        z_p = apply_coupling_block(
+            enc_flow_params["flow"], z, y_mask, g=g_src, reverse=False,
+            wn_stacks=flow_stacks,
+        )
+        z_hat = apply_coupling_block(
+            enc_flow_params["flow"], z_p, y_mask, g=g_tgt, reverse=True,
+            wn_stacks=flow_stacks,
+        )
 
     dec_params, x_dec = params["dec"], z_hat * y_mask
     mask_dec = y_mask
@@ -535,7 +611,24 @@ def tts_decode(
         dec_params = jax.tree.map(to_bf16, dec_params)
         z_p, y_mask = to_bf16(z_p), to_bf16(y_mask)
         g = to_bf16(g) if g is not None else None
-    z = apply_coupling_block(flow_params, z_p, y_mask, g=g, reverse=True)
+    wn_cache = dec_cache.get("wn") if (fast and dec_cache is not None) else None
+    cpl_cache = dec_cache.get("coupling") if (fast and dec_cache is not None) else None
+    if cpl_cache is not None and g is not None and _use_fused_coupling(z_p, max_frames):
+        from openvoice_tpu.ops.coupling_pallas import (
+            coupling_g_stack,
+            fused_coupling_block,
+        )
+
+        g_rev = coupling_g_stack(flow_params, g, reverse=True, dtype=z_p.dtype)
+        z = fused_coupling_block(
+            z_p * y_mask, y_lengths, cpl_cache["rev"], g_rev,
+            kernel_size=cfg.flow_kernel_size,
+        )
+    else:
+        z = apply_coupling_block(
+            flow_params, z_p, y_mask, g=g, reverse=True,
+            wn_stacks=wn_cache["flow"] if wn_cache else None,
+        )
     audio = apply_generator(
         dec_params,
         z * y_mask,

@@ -120,11 +120,12 @@ def apply_coupling_layer(
     g: jnp.ndarray | None = None,
     reverse: bool = False,
     mean_only: bool = True,
+    wn_stack: tuple | None = None,
 ):
     half = x.shape[-1] // 2
     x0, x1 = x[..., :half], x[..., half:]
     h = conv1d(x0, params["pre"]["w"], params["pre"]["b"]) * x_mask
-    h = apply_wn(params["wn"], h, x_mask, g=g)
+    h = apply_wn(params["wn"], h, x_mask, g=g, stacked=wn_stack)
     stats = conv1d(h, params["post"]["w"], params["post"]["b"]) * x_mask
     if mean_only:
         m, logs = stats, jnp.zeros_like(stats)
@@ -146,16 +147,19 @@ def apply_coupling_block(
     x_mask: jnp.ndarray,
     g: jnp.ndarray | None = None,
     reverse: bool = False,
+    wn_stacks: list | None = None,
 ) -> jnp.ndarray:
     """4× [coupling(mean_only) + flip]; reverse runs the chain backwards
-    (models.py:367-397)."""
+    (models.py:367-397).  wn_stacks: optional per-layer pre-packed WN weight
+    tuples (see apply_wn), parallel to params["layers"]."""
     layers = params["layers"]
+    stacks = wn_stacks if wn_stacks is not None else [None] * len(layers)
     if not reverse:
-        for lp in layers:
-            x, _ = apply_coupling_layer(lp, x, x_mask, g=g, reverse=False)
+        for lp, st in zip(layers, stacks):
+            x, _ = apply_coupling_layer(lp, x, x_mask, g=g, reverse=False, wn_stack=st)
             x, _ = flip_flow(x, reverse=False)
     else:
-        for lp in reversed(layers):
+        for lp, st in zip(reversed(layers), reversed(stacks)):
             x = flip_flow(x, reverse=True)
-            x = apply_coupling_layer(lp, x, x_mask, g=g, reverse=True)
+            x = apply_coupling_layer(lp, x, x_mask, g=g, reverse=True, wn_stack=st)
     return x

@@ -192,10 +192,29 @@ def apply_generator(
         and x.dtype == jnp.bfloat16
         and jax.default_backend() == "tpu"
     )
+    n_stages = len(upsample_rates)
+    plans = [
+        _stage_plan(params, i, u, k, n_stages) if use_fused else None
+        for i, (u, k) in enumerate(zip(upsample_rates, upsample_kernel_sizes))
+    ]
+    # the fused kernels rebuild masks in-kernel from true lengths, so the
+    # true frame count is derived ONCE at frame rate; the audio-rate mask is
+    # only materialized while an XLA-fallback stage remains downstream.
+    # ([B, T, 1] masks at audio rate are lane-1 arrays — physically padded
+    # 128× by TPU tiling, so repeating/summing them at 229k samples costs
+    # real HBM traffic for 1 useful byte per 256.)
+    cur_len = (
+        jnp.sum(x_mask[:, :, 0].astype(jnp.int32), axis=1)
+        if x_mask is not None
+        else None
+    )
     for i, (u, k_up) in enumerate(zip(upsample_rates, upsample_kernel_sizes)):
         up = params["ups"][i]
-        plan = _stage_plan(params, i, u, k_up, len(upsample_rates)) if use_fused else None
-        is_last = i == len(upsample_rates) - 1
+        plan = plans[i]
+        # a real mask is only needed past this stage by XLA-fallback stages;
+        # every fused kernel re-masks its input from `cur_len` itself
+        mask_needed = any(p is None for p in plans[i:])
+        is_last = i == n_stages - 1
         pad_up = (k_up - u) // 2
         if plan is not None and plan["kind"] in ("tail", "upmrf"):
             fold = plan["fold"]
@@ -237,8 +256,8 @@ def apply_generator(
                     fold=fold,
                     dtype=x.dtype,
                 )
-            if x_mask is not None:
-                lengths = jnp.sum(x_mask[:, :, 0].astype(jnp.int32), axis=1) * u
+            if cur_len is not None:
+                lengths = cur_len * u
             else:
                 lengths = jnp.full((x.shape[0],), x.shape[1] * u, jnp.int32)
             out = fused_tail_stage(
@@ -251,14 +270,23 @@ def apply_generator(
             if is_last:
                 return out
             x = out
-            if x_mask is not None:
+            if cur_len is not None:
+                cur_len = cur_len * u
+            if x_mask is not None and mask_needed:
                 x_mask = jnp.repeat(x_mask, u, axis=1)
             continue
         x = _lrelu(x)
         x = conv_transpose1d(x, up["w"], up["b"], stride=u, padding=(k_up - u) // 2)
-        if x_mask is not None:
+        if cur_len is not None:
+            cur_len = cur_len * u
+        if x_mask is not None and (mask_needed or plan is None):
             x_mask = jnp.repeat(x_mask, u, axis=1)
             x = x * x_mask
+        elif x_mask is not None and plan is not None:
+            # skip the audio-rate mask: the fused MRF kernel re-masks its
+            # input from `cur_len`, so post-upsample spill past the true
+            # length is zeroed in-kernel
+            x_mask = None
         if plan is not None and plan["kind"] == "mrf":
             from openvoice_tpu.ops.mrf_pallas import fused_mrf_stage, pack_stage_weights
 
@@ -278,10 +306,8 @@ def apply_generator(
                     dtype=x.dtype,
                     fold=fold,
                 )
-            if x_mask is not None:
-                # int32 accumulation: a bf16 sum can't represent every
-                # integer above 256, which would shift the mask boundary
-                lengths = jnp.sum(x_mask[:, :, 0].astype(jnp.int32), axis=1)
+            if cur_len is not None:
+                lengths = cur_len
             else:
                 lengths = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
             x = fused_mrf_stage(

@@ -31,8 +31,15 @@ def apply_wn(
     x_mask: jnp.ndarray,
     g: jnp.ndarray | None = None,
     dilation_rate: int = 1,
+    stacked: tuple | None = None,
 ) -> jnp.ndarray:
-    """x: [B, T, H], x_mask: [B, T, 1], g: [B, 1, gin] or None → [B, T, H]."""
+    """x: [B, T, H], x_mask: [B, T, 1], g: [B, 1, gin] or None → [B, T, H].
+
+    `stacked` (optional) is the pre-packed (w_in, b_in, w_rs, b_rs) tuple
+    from ops.wn_pallas.stack_wn_params, built once at model-load time
+    (models.synthesizer.make_dec_cache) — it keeps the per-call weight
+    stacking copies (~14 MB per convert at V2 size) out of the serving
+    graph.  Ignored on the XLA fallback path."""
     hidden = x.shape[-1]
     n_layers = len(params["in"])
 
@@ -55,7 +62,10 @@ def apply_wn(
 
         kernel_sizes = {p["w"].shape[0] for p in params["in"]}
         if x.shape[1] <= MAX_FUSED_ROWS and len(kernel_sizes) == 1:
-            w_in, b_in, w_rs, b_rs = stack_wn_params(params, hidden, dtype=x.dtype)
+            if stacked is not None:
+                w_in, b_in, w_rs, b_rs = (a.astype(x.dtype) for a in stacked)
+            else:
+                w_in, b_in, w_rs, b_rs = stack_wn_params(params, hidden, dtype=x.dtype)
             if g_all is not None:
                 g_stack = g_all.reshape(x.shape[0], n_layers, 2 * hidden).astype(x.dtype)
             else:

@@ -63,14 +63,19 @@ from jax.experimental.pallas import tpu as pltpu
 _STREAM_BYTES = 6 * 1024 * 1024
 
 
+_TILE_OVERRIDE: dict | None = None  # experiment hook: {c_pad: rows}
+
+
 def _tile_rows(c_pad: int) -> int:
-    """Rows per grid step (multiple of 8 sublanes).  Wider-than-128-lane
-    stages halve the tile: Mosaic's scoped-VMEM stack holds several f32
-    [ext, c_pad] temporaries of the unrolled tap-matmul chain, and at
-    c_pad=256 large tiles blow the 16 MB limit.  (2048-row tiles for the
-    128-lane stages were tried: halo overhead drops 12%→6% but VMEM pressure
-    degrades the in/out block pipelining — net ~8% slower.)"""
-    return 1024 if c_pad <= 128 else 512
+    """Rows per grid step (multiple of 8 sublanes).  Retuned 2026-08-20:
+    1024-row tiles now win at every lane width — the slack-buffer static-
+    slice refactor freed enough VMEM that the C=256 streamed stage runs
+    1024-row tiles (measured 1.00 → 0.61 ms on the s0 shape; the halo
+    recompute fraction drops 23% → 12%).  2048 at 128 lanes was re-tried
+    and is still a wash vs 1024 (block pipelining)."""
+    if _TILE_OVERRIDE and c_pad in _TILE_OVERRIDE:
+        return _TILE_OVERRIDE[c_pad]
+    return 1024
 
 
 def stage_halo(kernel_sizes, dilation_sizes) -> int:
