@@ -66,16 +66,23 @@ _STREAM_BYTES = 6 * 1024 * 1024
 _TILE_OVERRIDE: dict | None = None  # experiment hook: {c_pad: rows}
 
 
-def _tile_rows(c_pad: int) -> int:
-    """Rows per grid step (multiple of 8 sublanes).  Retuned 2026-08-20:
-    1024-row tiles now win at every lane width — the slack-buffer static-
-    slice refactor freed enough VMEM that the C=256 streamed stage runs
-    1024-row tiles (measured 1.00 → 0.61 ms on the s0 shape; the halo
-    recompute fraction drops 23% → 12%).  2048 at 128 lanes was re-tried
-    and is still a wash vs 1024 (block pipelining)."""
+def _tile_rows(c_pad: int, kind: str = "mrf") -> int:
+    """Rows per grid step (multiple of 8 sublanes).  Retuned 2026-08-20 with
+    interleaved A/B medians (the measurement tunnel's per-run spread is
+    ±40%, so single runs are not comparable):
+
+    * C=256 streamed MRF: 512 → 1024 rows (0.98 → 0.86 ms on the s0 shape) —
+      fewer tiles halves the per-tile re-streaming of the 16.5 MB stage
+      weights and the 60-row halo recompute; the old VMEM concern predates
+      the slack-buffer static-slice refactor.
+    * tail/upmrf kernels: 1024 → 1536 rows (s2 1.86 → 1.67 ms, s3 1.33 →
+      1.19 ms); their weights are VMEM-resident so the win is halo
+      amortization plus longer matmul chains between block switches.
+      2048 regresses (VMEM pressure degrades in/out block pipelining).
+    * 128-lane MRF: 1024 stays (1536/2048 within noise or worse)."""
     if _TILE_OVERRIDE and c_pad in _TILE_OVERRIDE:
         return _TILE_OVERRIDE[c_pad]
-    return 1024
+    return 1536 if kind == "tail" else 1024
 
 
 def stage_halo(kernel_sizes, dilation_sizes) -> int:
@@ -681,7 +688,7 @@ def fused_tail_stage(
         + (max(abs(q) for q in post_qs) if post_qs is not None else 0)
     )
     halo = -(-halo // 4) * 4
-    tile = _tile_rows(128)
+    tile = _tile_rows(128, kind="tail")
     n_tiles = -(-rows // tile)
     rows_pad = n_tiles * tile
     x_hbm = jnp.pad(xf, ((0, 0), (halo, halo + (rows_pad - rows)), (0, 0)))
