@@ -88,8 +88,35 @@ def main() -> None:
         z, _, _ = S.posterior_encode(p16, cfg, sp, mask, gz16, jnp.bfloat16(0.3), z16)
         return jnp.mean(z).astype(jnp.bfloat16)
 
+    # what full_convert (fast=True + dec_cache) actually runs: the fused
+    # whole-direction coupling kernel — timing the unfused path here would
+    # misattribute the fused-vs-unfused delta into glue_ms (can go negative)
+    from openvoice_tpu.models.synthesizer import _use_fused_coupling
+    from openvoice_tpu.ops.coupling_pallas import coupling_g_stack, fused_coupling_block
+
+    use_fused = _use_fused_coupling(z16, t) and "coupling" in dec_cache
+
     @jax.jit
     def flows_only(z, carry):
+        z = z + 1e-9 * carry
+        if use_fused:
+            g_fwd = coupling_g_stack(p16["flow"], g16, reverse=False, dtype=z.dtype)
+            g_rev = coupling_g_stack(p16["flow"], g16, reverse=True, dtype=z.dtype)
+            z_p = fused_coupling_block(
+                z, lengths, dec_cache["coupling"]["fwd"], g_fwd,
+                kernel_size=cfg.flow_kernel_size,
+            )
+            z_hat = fused_coupling_block(
+                z_p, lengths, dec_cache["coupling"]["rev"], g_rev,
+                kernel_size=cfg.flow_kernel_size,
+            )
+        else:
+            z_p = apply_coupling_block(p16["flow"], z, mask, g=g16, reverse=False)
+            z_hat = apply_coupling_block(p16["flow"], z_p, mask, g=g16, reverse=True)
+        return jnp.mean(z_hat).astype(jnp.bfloat16)
+
+    @jax.jit
+    def flows_unfused(z, carry):
         z = z + 1e-9 * carry
         z_p = apply_coupling_block(p16["flow"], z, mask, g=g16, reverse=False)
         z_hat = apply_coupling_block(p16["flow"], z_p, mask, g=g16, reverse=True)
@@ -122,9 +149,11 @@ def main() -> None:
         ("decoder", mk_chain(dec_only, z16)),
         ("enc_q", mk_chain(encq_only, spec16)),
         ("flows", mk_chain(flows_only, z16)),
+        ("flows_unfused", mk_chain(flows_unfused, z16)),
     ]:
         dt = slope(fn)
         out[name + "_ms"] = round(dt * 1e3, 3)
+    out["flows_fused"] = bool(use_fused)
     out["glue_ms"] = round(
         out["full_convert_ms"] - out["decoder_ms"] - out["enc_q_ms"] - out["flows_ms"], 3
     )

@@ -372,10 +372,12 @@ def make_dec_cache(params: dict, cfg: SynthesizerConfig, dtype=jnp.bfloat16) -> 
 
     cache["coupling"] = {
         "fwd": pack_coupling_block(
-            params["flow"], cfg.hidden_channels, reverse=False, dtype=dtype
+            params["flow"], cfg.hidden_channels, reverse=False, dtype=dtype,
+            kernel_size=cfg.flow_kernel_size,
         ),
         "rev": pack_coupling_block(
-            params["flow"], cfg.hidden_channels, reverse=True, dtype=dtype
+            params["flow"], cfg.hidden_channels, reverse=True, dtype=dtype,
+            kernel_size=cfg.flow_kernel_size,
         ),
     }
     return cache

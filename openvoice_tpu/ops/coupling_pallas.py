@@ -54,7 +54,7 @@ def _exec_order(n_layers: int, reverse: bool):
 
 
 def pack_coupling_block(flow_params: dict, hidden: int, *, reverse: bool,
-                        dtype=jnp.bfloat16):
+                        dtype=jnp.bfloat16, kernel_size: int | None = None):
     """Pack one direction of the coupling block for the fused kernel.
 
     flow_params: {"layers": [{"pre", "wn", "post"}, ...]} (mean_only
@@ -72,6 +72,12 @@ def pack_coupling_block(flow_params: dict, hidden: int, *, reverse: bool,
       bq    [S, 1, C]   post bias, same placement/sign
 
     C = 2·half (the flow channel count), H = hidden.
+
+    kernel_size, when given (the cfg.flow_kernel_size the caller will pass
+    to fused_coupling_block), is checked against the actual WN tap count so
+    a checkpoint/config mismatch fails loudly here instead of producing
+    silently wrong audio.  The packing also asserts each coupling is
+    mean_only (post width == half) — the kernel's algebra assumes it.
     """
     from openvoice_tpu.ops.wn_pallas import stack_wn_params
 
@@ -88,6 +94,17 @@ def pack_coupling_block(flow_params: dict, hidden: int, *, reverse: bool,
         pre_w = get(lp["pre"]["w"])[0]  # [half, H]
         post_w = get(lp["post"]["w"])[0]  # [H, half]
         post_b = get(lp["post"]["b"])  # [half]
+        if post_w.shape[1] != half:
+            raise ValueError(
+                f"fused coupling requires mean_only couplings: post width "
+                f"{post_w.shape[1]} != half {half} (coupling {cpl})"
+            )
+        k_actual = np.asarray(lp["wn"]["in"][0]["w"]).shape[0]
+        if kernel_size is not None and k_actual != kernel_size:
+            raise ValueError(
+                f"flow WN kernel size mismatch: weights have k={k_actual}, "
+                f"config says {kernel_size} (coupling {cpl})"
+            )
 
         m_pre = np.zeros((c, hidden), np.float32)
         m_post = np.zeros((hidden, c), np.float32)

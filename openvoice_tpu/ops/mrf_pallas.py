@@ -63,7 +63,11 @@ from jax.experimental.pallas import tpu as pltpu
 _STREAM_BYTES = 6 * 1024 * 1024
 
 
-_TILE_OVERRIDE: dict | None = None  # experiment hook: {c_pad: rows}
+# Experiment hook: {c_pad: rows}.  NOTE: fused_mrf_stage/fused_tail_stage are
+# jitted and bake the tile in at trace time — mutating this after a shape has
+# been traced has no effect.  Clear jax caches (jax.clear_caches()) or use a
+# fresh process between A/B runs.
+_TILE_OVERRIDE: dict | None = None
 
 
 def _tile_rows(c_pad: int, kind: str = "mrf") -> int:
@@ -321,6 +325,61 @@ def _lrelu(x, slope=0.1):
     return jnp.maximum(x, 0) + jnp.minimum(x, 0) * jnp.asarray(slope, x.dtype)
 
 
+def _run_branches(x0, mask, meta, n_branches, conv, bias, interleave: bool):
+    """The MRF branch chains shared by both kernels.  conv(xt, ci, br) issues
+    conv ci's tap-matmuls off branch br's slack buffer and returns the f32
+    accumulator; bias(ci) returns the conv's bias row.
+
+    interleave=False runs each branch's chain to completion in turn (the
+    per-conv VPU epilogue — lrelu ×2, mask, bias-add, cast ≈ 7 VPU passes on
+    the [ext, 128] tile — is then serialized with that same branch's next
+    tap-matmuls, because each conv feeds the next).
+
+    interleave=True issues the independent branch chains round-robin
+    (b0c0, b1c0, b2c0, b0c1, …): branch i's epilogue has no data dependence
+    on branch j's matmuls, so with per-branch slack buffers the VPU epilogue
+    dual-issues under the other branches' MXU work.  Per-branch float ops and
+    the final (b0 + b1) + b2 accumulation order are identical to the
+    sequential path, so results are bit-identical.
+    """
+    convs_per_branch = len(meta) // n_branches
+    dt = x0.dtype
+    if not interleave:
+        acc = jnp.zeros(x0.shape, jnp.float32)
+        ci = 0
+        for br in range(n_branches):
+            xb = x0
+            for _pair in range(convs_per_branch // 2):
+                xt = _lrelu(xb) * mask
+                y = conv(xt, ci, br)
+                xt = _lrelu((y + bias(ci)).astype(dt)) * mask
+                ci += 1
+                y2 = conv(xt, ci, br)
+                xb = xb + (y2 + bias(ci)).astype(dt)
+                ci += 1
+            acc = acc + (xb * mask).astype(jnp.float32)
+        return acc / n_branches
+    xb = [x0] * n_branches
+    for pair in range(convs_per_branch // 2):
+        cis = [br * convs_per_branch + 2 * pair for br in range(n_branches)]
+        ys = [
+            conv(_lrelu(xb[br]) * mask, cis[br], br) for br in range(n_branches)
+        ]
+        y2s = [
+            conv(_lrelu((ys[br] + bias(cis[br])).astype(dt)) * mask,
+                 cis[br] + 1, br)
+            for br in range(n_branches)
+        ]
+        xb = [
+            xb[br] + (y2s[br] + bias(cis[br] + 1)).astype(dt)
+            for br in range(n_branches)
+        ]
+    acc = jnp.zeros(x0.shape, jnp.float32)
+    for br in range(n_branches):
+        acc = acc + (xb[br] * mask).astype(jnp.float32)
+    return acc / n_branches
+
+
 def _mrf_kernel(
     len_ref,     # [B] int32 in SMEM (scalar prefetch): true sample lengths
     x_ref,       # [B, T_pad + 2H, C'] HBM (pre-padded by H rows each side)
@@ -336,11 +395,14 @@ def _mrf_kernel(
     fold: int,
     c_orig: int,
     stream: bool,
+    interleave: bool,
+    n_slack: int,
 ):
     if stream:
-        xbuf, xsl, sem, wbuf, wsem = scratch
+        xbuf, *xsls, sem, wbuf, wsem = scratch
     else:
-        xbuf, xsl, sem = scratch
+        xbuf, *xsls, sem = scratch
+    assert len(xsls) == n_slack
     b_idx = pl.program_id(0)
     i = pl.program_id(1)
     ext = tile + 2 * halo
@@ -348,9 +410,12 @@ def _mrf_kernel(
 
     # zero the slack margins once per tile: tap slices read them as the
     # 'same'-conv zero padding (contamination stays inside the halo margin,
-    # same argument as the roll formulation this replaces)
-    xsl[:halo, :] = jnp.zeros((halo, lanes), xsl.dtype)
-    xsl[halo + ext:, :] = jnp.zeros((halo, lanes), xsl.dtype)
+    # same argument as the roll formulation this replaces).  One SEPARATE
+    # slack buffer per interleaved branch — separate memrefs, so Mosaic's
+    # dependency analysis can't alias branch i's store with branch j's loads.
+    for xsl in xsls:
+        xsl[:halo, :] = jnp.zeros((halo, lanes), xsl.dtype)
+        xsl[halo + ext:, :] = jnp.zeros((halo, lanes), xsl.dtype)
 
     dma = pltpu.make_async_copy(
         x_ref.at[b_idx, pl.ds(i * tile, ext), :], xbuf, sem
@@ -372,9 +437,6 @@ def _mrf_kernel(
         ).astype(xbuf.dtype)
 
     x0 = xbuf[:] * mask
-    convs_per_branch = len(meta) // n_branches
-    acc = jnp.zeros((ext, lanes), jnp.float32)
-    conv_idx = 0
 
     # static (tap0, n_taps) range of each conv in the stacked weights
     ranges = []
@@ -394,7 +456,7 @@ def _mrf_kernel(
         for ahead in range(min(n_slots - 1, len(meta))):
             w_dma(ahead % n_slots, ahead).start()
 
-    def conv(xt, ci, shifts):
+    def conv(xt, ci, br):
         # accumulating tap-matmuls off the slack buffer: one store of xt,
         # then per-tap STATIC slices — cheaper than per-tap rolls, which
         # also round-trip bf16 through f32.  (A lane-concat variant —
@@ -404,16 +466,18 @@ def _mrf_kernel(
         if stream:
             # multi-buffered per-conv weight slices HBM→VMEM: n_slots-1 convs
             # are prefetched ahead; slot s is refilled only after its previous
-            # reader's matmuls were issued (in-order), so no race.
+            # reader's matmuls were issued (in-order), so no race.  Streaming
+            # implies interleave=False, so ci arrives in ascending order.
             if ci + n_slots - 1 < len(meta):
                 w_dma((ci + n_slots - 1) % n_slots, ci + n_slots - 1).start()
             w_dma(ci % n_slots, ci).wait()
             weights, base = wbuf.at[ci % n_slots], 0
         else:
             weights, base = w_ref, ranges[ci][0]
+        xsl = xsls[br if interleave else 0]
         xsl[halo: halo + ext, :] = xt
         y = jnp.zeros((ext, xt.shape[1]), jnp.float32)
-        for off, s in enumerate(shifts):
+        for off, s in enumerate(meta[ci]):
             y = y + jnp.dot(
                 xsl[halo + s: halo + s + ext, :], weights[base + off],
                 preferred_element_type=jnp.float32,
@@ -422,22 +486,15 @@ def _mrf_kernel(
 
     # masking order mirrors apply_resblock1 exactly: lrelu → ·mask → conv
     # for both convs of each pair, residual add, branch output ·mask
-    for br in range(n_branches):
-        xb = x0
-        for _pair in range(convs_per_branch // 2):
-            xt = _lrelu(xb) * mask
-            y = conv(xt, conv_idx, meta[conv_idx])
-            xt = _lrelu((y + b_ref[conv_idx]).astype(xb.dtype)) * mask
-            conv_idx += 1
-            y2 = conv(xt, conv_idx, meta[conv_idx])
-            xb = xb + (y2 + b_ref[conv_idx]).astype(xb.dtype)
-            conv_idx += 1
-        acc = acc + (xb * mask).astype(jnp.float32)
-    out = (acc / n_branches).astype(acc_dtype)
+    out = _run_branches(
+        x0, mask, meta, n_branches, conv, lambda ci: b_ref[ci], interleave
+    ).astype(acc_dtype)
     out_ref[0] = out[halo: halo + tile]
 
 
-@partial(jax.jit, static_argnames=("kernel_sizes", "dilation_sizes", "fold", "interpret"))
+@partial(jax.jit, static_argnames=(
+    "kernel_sizes", "dilation_sizes", "fold", "interleave", "interpret"
+))
 def fused_mrf_stage(
     x: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -447,6 +504,7 @@ def fused_mrf_stage(
     kernel_sizes: tuple,
     dilation_sizes: tuple,
     fold: int = 1,
+    interleave: bool | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x: [B, T, C] → mean of ResBlock1 branches, [B, T, C].
@@ -456,6 +514,11 @@ def fused_mrf_stage(
     (pack_stage_weights).  fold=r packs r samples into the lane dim —
     use r = 128//C for C < 128; weights larger than ~6 MB are streamed
     from HBM per branch automatically.
+
+    interleave=None auto-selects: branch chains are issued round-robin
+    (see _run_branches) when the stage runs at exactly 128 lanes with
+    VMEM-resident weights — the n_branches slack buffers cost ~1 MB VMEM
+    at 128 lanes, which the streamed C=256 stage doesn't have.
     """
     b, t, c = x.shape
     if fold > 1:
@@ -488,10 +551,16 @@ def fused_mrf_stage(
     meta = stage_meta(kernel_sizes, dilation_sizes, fold)
     stream = w_all.size * w_all.dtype.itemsize > _STREAM_BYTES
     max_conv_taps = max(len(m) for m in meta)
+    n_branches = len(kernel_sizes)
+    if interleave is None:
+        interleave = (not stream) and c_pad == 128 and n_branches > 1
+    interleave = interleave and not stream and n_branches > 1
+    n_slack = n_branches if interleave else 1
 
     scratch = [
         pltpu.VMEM((tile + 2 * halo, c_pad), x.dtype),
-        pltpu.VMEM((tile + 4 * halo, c_pad), x.dtype),  # slack buffer for tap slices
+        # one slack buffer per interleaved branch, as SEPARATE memrefs
+        *[pltpu.VMEM((tile + 4 * halo, c_pad), x.dtype) for _ in range(n_slack)],
         pltpu.SemaphoreType.DMA,
     ]
     if stream:
@@ -519,12 +588,14 @@ def fused_mrf_stage(
             _mrf_kernel,
             tile=tile,
             halo=halo,
-            n_branches=len(kernel_sizes),
+            n_branches=n_branches,
             meta=meta,
             acc_dtype=x.dtype,
             fold=fold,
             c_orig=c,
             stream=stream,
+            interleave=interleave,
+            n_slack=n_slack,
         ),
         out_shape=jax.ShapeDtypeStruct((bb, t_pad, c_pad), x.dtype),
         grid_spec=grid_spec,
@@ -542,10 +613,7 @@ def _tail_kernel(
     w_ref,       # [n_taps, 128, 128] VMEM: up taps, mrf taps, post taps
     b_ref,       # [1 + n_convs, 128] VMEM: row 0 = up bias (tiled)
     out_ref,     # [1, tile, fold] VMEM block: folded audio samples
-    xbuf,
-    xsl,
-    sem,
-    *,
+    *scratch,    # xbuf, n_slack slack buffers, sem
     tile: int,
     halo: int,
     n_branches: int,
@@ -556,12 +624,14 @@ def _tail_kernel(
     fold: int,
     c_orig: int,
     acc_dtype,
+    interleave: bool,
 ):
     """Fused decoder tail: lrelu → ConvTranspose1d upsample → MRF resblocks
     → lrelu(0.01) → final conv → tanh, all on one VMEM-resident tile.  The
     up input (fold/stride × stride·c_orig) and the MRF stage
     (fold × c_orig) both fill exactly 128 lanes with output rows mapping
     1:1 to input rows, so every op is a shifted tap-matmul."""
+    xbuf, *xsls, sem = scratch
     b_idx = pl.program_id(0)
     i = pl.program_id(1)
     ext = tile + 2 * halo
@@ -574,8 +644,12 @@ def _tail_kernel(
     dma.wait()
 
     # slack margins = the 'same'-conv zero padding for the static tap slices
-    xsl[:halo, :] = jnp.zeros((halo, lanes), xsl.dtype)
-    xsl[halo + ext:, :] = jnp.zeros((halo, lanes), xsl.dtype)
+    # (one SEPARATE buffer per interleaved branch — separate memrefs keep
+    # Mosaic from aliasing branch i's store with branch j's loads; the
+    # upsample and post convs use buffer 0)
+    for xsl in xsls:
+        xsl[:halo, :] = jnp.zeros((halo, lanes), xsl.dtype)
+        xsl[halo + ext:, :] = jnp.zeros((halo, lanes), xsl.dtype)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (ext, 1), 0) + i * tile - halo
     lane = jax.lax.broadcasted_iota(jnp.int32, (ext, lanes), 1)
@@ -594,8 +668,9 @@ def _tail_kernel(
         ranges.append((t0, n))
         t0 += n
 
-    def taps(xt, ci, qs):
+    def taps(xt, ci, qs, sb=0):
         tap0 = ranges[ci][0]
+        xsl = xsls[sb]
         xsl[halo: halo + ext, :] = xt
         y = jnp.zeros((ext, lanes), jnp.float32)
         for off, q in enumerate(qs):
@@ -609,35 +684,28 @@ def _tail_kernel(
     xin = _lrelu(xbuf[:]) * mask_in
     x0 = ((taps(xin, 0, up_qs) + b_ref[0]).astype(xbuf.dtype)) * mask
 
-    acc = jnp.zeros((ext, lanes), jnp.float32)
-    convs_per_branch = len(meta) // n_branches
-    conv_idx = 0
-    for _br in range(n_branches):
-        xb = x0
-        for _pair in range(convs_per_branch // 2):
-            xt = _lrelu(xb) * mask
-            y = taps(xt, 1 + conv_idx, meta[conv_idx])
-            xt = _lrelu((y + b_ref[1 + conv_idx]).astype(xb.dtype)) * mask
-            conv_idx += 1
-            y2 = taps(xt, 1 + conv_idx, meta[conv_idx])
-            xb = xb + (y2 + b_ref[1 + conv_idx]).astype(xb.dtype)
-            conv_idx += 1
-        acc = acc + (xb * mask).astype(jnp.float32)
+    mrf = _run_branches(
+        x0, mask, meta, n_branches,
+        lambda xt, ci, br: taps(xt, 1 + ci, meta[ci], br if interleave else 0),
+        lambda ci: b_ref[1 + ci],
+        interleave,
+    )
+    n_convs = len(meta)
 
     if post_qs is None:
         # up+MRF fusion for a middle stage: emit the folded MRF mean
-        out_ref[0] = (acc / n_branches).astype(acc_dtype)[halo: halo + tile]
+        out_ref[0] = mrf.astype(acc_dtype)[halo: halo + tile]
         return
     # final activation uses torch's default slope 0.01 (models.py:287), then
     # the bias-free conv_post and tanh (models.py:288-291)
-    ym = _lrelu((acc / n_branches).astype(xbuf.dtype), slope=0.01)
-    audio = jnp.tanh(taps(ym, 1 + conv_idx, post_qs))
+    ym = _lrelu(mrf.astype(xbuf.dtype), slope=0.01)
+    audio = jnp.tanh(taps(ym, 1 + n_convs, post_qs))
     out_ref[0] = audio[halo: halo + tile, : out_ref.shape[-1]].astype(acc_dtype)
 
 
 @partial(jax.jit, static_argnames=(
     "kernel_sizes", "dilation_sizes", "stride", "fold", "up_qs", "mrf_meta",
-    "post_qs", "interpret",
+    "post_qs", "interleave", "interpret",
 ))
 def fused_tail_stage(
     x: jnp.ndarray,
@@ -652,6 +720,7 @@ def fused_tail_stage(
     up_qs: tuple,
     mrf_meta: tuple,
     post_qs: tuple | None,
+    interleave: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused decoder tail.  x: [B, T_in, C_in] input of an upsample stage
@@ -689,6 +758,9 @@ def fused_tail_stage(
     )
     halo = -(-halo // 4) * 4
     tile = _tile_rows(128, kind="tail")
+    n_branches = len(kernel_sizes)
+    interleave = interleave and n_branches > 1
+    n_slack = n_branches if interleave else 1
     n_tiles = -(-rows // tile)
     rows_pad = n_tiles * tile
     x_hbm = jnp.pad(xf, ((0, 0), (halo, halo + (rows_pad - rows)), (0, 0)))
@@ -707,7 +779,9 @@ def fused_tail_stage(
         ),
         scratch_shapes=[
             pltpu.VMEM((tile + 2 * halo, 128), x.dtype),
-            pltpu.VMEM((tile + 4 * halo, 128), x.dtype),  # slack buffer
+            # per-branch slack buffers as separate memrefs (all weights are
+            # VMEM-resident at 128 lanes, so the extra ~1 MB fits)
+            *[pltpu.VMEM((tile + 4 * halo, 128), x.dtype) for _ in range(n_slack)],
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -716,7 +790,7 @@ def fused_tail_stage(
             _tail_kernel,
             tile=tile,
             halo=halo,
-            n_branches=len(kernel_sizes),
+            n_branches=n_branches,
             up_qs=up_qs,
             meta=mrf_meta,
             post_qs=post_qs,
@@ -724,6 +798,7 @@ def fused_tail_stage(
             fold=fold,
             c_orig=c_orig,
             acc_dtype=x.dtype,
+            interleave=interleave,
         ),
         out_shape=jax.ShapeDtypeStruct((b, rows_pad, out_w), x.dtype),
         grid_spec=grid_spec,

@@ -214,6 +214,58 @@ def test_fused_up_mrf_middle_stage_matches_xla():
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
 
+def test_interleaved_branches_bit_identical():
+    """The round-robin branch-interleaved issue order (per-branch slack
+    buffers, VPU epilogues dual-issuing under other branches' tap-matmuls)
+    must be BIT-identical to the sequential order — same per-branch float
+    ops, same (b0 + b1) + b2 accumulation."""
+    from openvoice_tpu.ops.mrf_pallas import fused_tail_stage, pack_tail_weights
+
+    rng = np.random.default_rng(31)
+    c, t, fold = 64, 1500, 2
+    resblocks = _random_resblocks(rng, c)
+    x = jnp.asarray(rng.standard_normal((1, t, c)).astype(np.float32)) * 0.5
+    lengths = jnp.asarray([t - 77], jnp.int32)
+    mask = (jnp.arange(t)[None, :, None] < lengths[:, None, None]).astype(jnp.float32)
+    x = x * mask
+
+    w_all, b_all, _ = pack_stage_weights(resblocks, KS, DILS, dtype=jnp.float32, fold=fold)
+    outs = [
+        np.asarray(fused_mrf_stage(
+            x, lengths, w_all, b_all, kernel_sizes=KS, dilation_sizes=DILS,
+            fold=fold, interleave=ilv, interpret=True,
+        ))
+        for ilv in (False, True)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+    # tail kernel: shipped last-stage shape (u=2, C 64→32, fold 4)
+    c_in, c_out, u, k_up = 64, 32, 2, 4
+    resblocks = _random_resblocks(rng, c_out)
+    up = {
+        "w": jnp.asarray(rng.standard_normal((k_up, c_in, c_out)).astype(np.float32)) * 0.1,
+        "b": jnp.asarray(rng.standard_normal(c_out).astype(np.float32)) * 0.1,
+    }
+    post_w = jnp.asarray(rng.standard_normal((7, c_out, 1)).astype(np.float32)) * 0.1
+    t_in = 512
+    x = jnp.asarray(rng.standard_normal((1, t_in, c_in)).astype(np.float32)) * 0.5
+    fold = 128 // c_out
+    w_all, b_all, up_qs, mrf_meta, post_qs = pack_tail_weights(
+        up, resblocks, post_w, KS, DILS,
+        stride=u, up_padding=(k_up - u) // 2, fold=fold, dtype=jnp.float32,
+    )
+    outs = [
+        np.asarray(fused_tail_stage(
+            x, jnp.asarray([t_in * u - 33], jnp.int32), w_all, b_all,
+            kernel_sizes=KS, dilation_sizes=DILS, stride=u, fold=fold,
+            up_qs=up_qs, mrf_meta=mrf_meta, post_qs=post_qs,
+            interleave=ilv, interpret=True,
+        ))
+        for ilv in (False, True)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_pack_host_matches_inline():
     """Host-side (numpy) cache packing must produce the same stacked tensors
     as the in-graph (jnp) packing for both stage and tail weights."""
