@@ -406,6 +406,7 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
         language: str = "English",
         speed: float = 1.0,
         seed: int = 0,
+        fast: bool = False,
     ):
         """Sequential per-sentence TTS (reference api.py:73-98 semantics).
 
@@ -413,11 +414,14 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
         jax.random call is a blocking first-use device round-trip measured
         in *minutes* through remote-dispatch tunnels) and fed into the two
         jitted stages; tts_batched draws the identical noise, so the two
-        paths produce the same audio for the same seed."""
+        paths produce the same audio for the same seed (per fast mode:
+        fast=True decodes bf16 through the fused Pallas decoder, same as
+        tts_batched(fast=True) — f32 remains the parity default)."""
         cfg = self.cfg
         params = self._require_params()
         token_seqs, speaker_id = self._sentence_tokens(text, speaker, language)
         noise_rngs = _sentence_noise_rngs(seed, len(token_seqs))
+        dec_cache = self._require_dec_cache() if fast else None
         pieces = []
         for i, tokens in enumerate(token_seqs):
             t_bucket = round_up_to_bucket(len(tokens))
@@ -436,6 +440,7 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
             noise = rng_y.standard_normal((1, fb, cfg.inter_channels)).astype(np.float32)
             audio, y_mask = S.tts_decode_jit(
                 params, cfg, enc, fb, jnp.asarray(noise), noise_scale=0.667,
+                fast=fast, dec_cache=dec_cache,
             )
             audio = np.asarray(audio[..., 0])
             y_len = int(np.asarray(jnp.sum(y_mask[..., 0], axis=-1))[0])

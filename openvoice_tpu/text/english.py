@@ -529,29 +529,73 @@ def word_to_ipa_rules(word: str) -> str:
     return "".join(out)
 
 
-def word_to_ipa(word: str) -> str:
+def _lexicon_base(word: str, suf: str) -> str | None:
+    """Base-form lexicon pronunciation for `word` = base + `suf`, covering
+    regular spelling changes: silent-e drop (arrive→arrived, wave→waving),
+    y→ie (study→studies/studied), final-consonant doubling (chop→chopping)."""
+    stem = word[: -len(suf)]
+    if stem in _LEXICON:
+        return _LEXICON[stem]
+    if suf in ("ed", "ing", "es"):
+        if stem + "e" in _LEXICON:  # silent-e base: arrived, waving, boxes? no — es keeps stem
+            return _LEXICON[stem + "e"]
+        if len(stem) >= 2 and stem[-1] == stem[-2] and stem[:-1] in _LEXICON:
+            return _LEXICON[stem[:-1]]  # doubled consonant: chopping, begged
+    return None
+
+
+def lexicon_pron(word: str) -> str | None:
+    """CMU-convention pronunciation from the lexicon (directly or through
+    regular morphology), or None when only the rule engine could serve the
+    word.  The coverage tests measure exactly this predicate."""
     if word in _LEXICON:
         return _LEXICON[word]
-    # simple morphology: plural / past / -ing via base-form lexicon hits
-    for suf, tail in (("s", ""), ("es", ""), ("ed", ""), ("ing", "")):
-        if word.endswith(suf) and word[: -len(suf)] in _LEXICON:
-            base = _LEXICON[word[: -len(suf)]]
-            if suf == "s" or suf == "es":
-                last = base[-1]
-                if last in "szʃʒʧʤ":
-                    return base + "ɪz"
-                if last in "ptkfθ":
-                    return base + "s"
-                return base + "z"
-            if suf == "ed":
-                last = base[-1]
-                if last in "td":
-                    return base + "ɪd"
-                if last in "pkfsθʃʧ":
-                    return base + "t"
-                return base + "d"
-            return base + "ɪŋ"
-    return word_to_ipa_rules(word)
+    # regular morphology via base-form lexicon hits (matches eng_to_ipa
+    # because CMUdict pronounces inflected forms exactly this way)
+    if word.endswith("ies") and word[:-3] + "y" in _LEXICON:
+        return _LEXICON[word[:-3] + "y"] + "z"  # study→studies: i-final, +z
+    if word.endswith("ied") and word[:-3] + "y" in _LEXICON:
+        return _LEXICON[word[:-3] + "y"] + "d"
+    if word.endswith("'s") and word[:-2] in _LEXICON:  # possessive
+        base = _LEXICON[word[:-2]]
+        last = base[-1]
+        if last in "szʃʒʧʤ":
+            return base + "ɪz"
+        return base + ("s" if last in "ptkfθ" else "z")
+    for suf in ("s", "es", "ed", "ing"):
+        if not word.endswith(suf):
+            continue
+        base = _lexicon_base(word, suf)
+        if base is None:
+            continue
+        def syllabic(p: str) -> str:
+            # a monosyllabic base carries no stress mark; once the suffix
+            # adds a syllable, eng_to_ipa marks primary stress on the base
+            if "ˈ" not in base and "ˌ" not in base:
+                return "ˈ" + base + p
+            return base + p
+
+        if suf in ("s", "es"):
+            last = base[-1]
+            if last in "szʃʒʧʤ":
+                return syllabic("ɪz")
+            if last in "ptkfθ":
+                return base + "s"
+            return base + "z"
+        if suf == "ed":
+            last = base[-1]
+            if last in "td":
+                return syllabic("ɪd")
+            if last in "pkfsθʃʧ":
+                return base + "t"
+            return base + "d"
+        return syllabic("ɪŋ")
+    return None
+
+
+def word_to_ipa(word: str) -> str:
+    pron = lexicon_pron(word)
+    return pron if pron is not None else word_to_ipa_rules(word)
 
 
 def english_to_ipa(text: str) -> str:

@@ -282,6 +282,56 @@ def test_english_lexicon_coverage_on_natural_text():
     assert rate >= 0.95, (rate, missing[:40])
 
 
+# Held-out corpus for the r3 ≥98% bound (VERDICT r2 next #5) — written fresh
+# for this round, disjoint from _NATURAL_CORPUS, deliberately ranging over
+# travel/food/family/music/weather vocabulary.
+_HELDOUT_CORPUS = """
+Last October my sister and I drove along the coast to visit our grandmother
+in her village by the harbor. The journey took nearly six hours because the
+traffic on the highway was terrible, and heavy rain kept falling until noon.
+We stopped at a small restaurant for lunch and ordered soup, bread, and
+coffee. The owner told us stories about the fishing boats and the storms
+that damaged the pier two winters ago. His daughter studies engineering at
+the university and hopes to design bridges someday.
+
+When we finally arrived, grandmother was waiting in the garden with fresh
+apples and honey from her neighbor's farm. She complained gently about her
+knees and the cold weather, but her eyes were bright and her laughter was
+the same as ever. In the evening we cooked dinner together, chopping onions
+and potatoes while the radio played old songs. My sister washed the dishes
+and I repaired the broken shelf in the kitchen.
+
+The next morning we walked to the market square. Vendors sold cheese, fish,
+flowers, and wooden toys. An elderly musician played the violin near the
+fountain, and children danced around him laughing. We bought gifts for our
+parents and a warm scarf for grandmother. On the way home she explained the
+history of the ancient church on the hill, whose tower survived wars,
+earthquakes, and countless generations of pigeons.
+
+Before leaving on Sunday we promised to return in the spring. Grandmother
+stood at the gate waving until our car disappeared around the corner. The
+sky cleared, sunlight spread across the wet fields, and my sister said she
+felt lucky to belong to such a family. I agreed, turned on some quiet music,
+and we talked about our childhood memories for the rest of the drive home.
+"""
+
+
+def test_english_lexicon_coverage_on_heldout_text():
+    """r3 bound: ≥98% of running words on a HELD-OUT corpus (written fresh
+    this round) must be served by the lexicon or its regular morphology —
+    the exact predicate the G2P uses (english.lexicon_pron)."""
+    import re
+
+    from openvoice_tpu.text.english import lexicon_pron, normalize_english
+
+    text = normalize_english(_HELDOUT_CORPUS)
+    words = re.findall(r"[a-z']+", text)
+    assert len(words) >= 250, len(words)
+    missing = sorted({w for w in words if lexicon_pron(w) is None})
+    rate = 1 - sum(1 for w in words if lexicon_pron(w) is None) / len(words)
+    assert rate >= 0.98, (rate, missing[:40])
+
+
 def test_english_lexicon_entries_tokenize_into_inventory():
     """Every lexicon pronunciation must survive the ipa2 pass and tokenize
     with zero dropped symbols (the checkpoint contract)."""

