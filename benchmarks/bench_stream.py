@@ -23,6 +23,10 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--parity", action="store_true", help="full-f32 instead of the bf16 serving mode")
+    ap.add_argument("--spec", action="store_true",
+                    help="legacy spec-upload mode (default: PCM fast path)")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="repeat the stream and report the median")
     args = ap.parse_args()
 
     import jax
@@ -41,39 +45,40 @@ def main() -> None:
     # cached speaker embeddings: a small table reused across the stream
     ses = rng.standard_normal((8, cfg.gin_channels)).astype(np.float32)
 
-    # warmup compile for the bucket
-    warm = ConvertRequest(
-        spec=np.abs(rng.standard_normal((n_frames, cfg.spec_channels))).astype(np.float32),
-        n_frames=n_frames, g_src=ses[0], g_tgt=ses[1], tau=0.3, seed=0,
-    )
-    batcher.submit(warm).result(timeout=1200)
-    # second warmup at full batch occupancy
-    futs = [
-        batcher.submit(ConvertRequest(
-            spec=warm.spec, n_frames=n_frames, g_src=ses[0], g_tgt=ses[1], tau=0.3, seed=i))
-        for i in range(args.batch)
-    ]
+    def make_req(i: int) -> ConvertRequest:
+        kw = dict(g_src=ses[i % 8], g_tgt=ses[(i + 3) % 8], tau=0.3, seed=i)
+        if args.spec:
+            return ConvertRequest(
+                spec=specs[i % 16], n_frames=n_frames, **kw
+            )
+        return ConvertRequest(audio=waves[i % 16], **kw)
+
+    if args.spec:
+        specs = [
+            np.abs(rng.standard_normal((n_frames, cfg.spec_channels))).astype(np.float32)
+            for _ in range(16)
+        ]
+    else:
+        n_samples = n_frames * cfg.hop_length
+        waves = [
+            (rng.standard_normal(n_samples) * 0.1).astype(np.float32)
+            for _ in range(16)
+        ]
+
+    # warmup compile for the bucket, then at full batch occupancy
+    batcher.submit(make_req(0)).result(timeout=1200)
+    futs = [batcher.submit(make_req(i)) for i in range(args.batch)]
     for f in futs:
         f.result(timeout=1200)
 
-    specs = [
-        np.abs(rng.standard_normal((n_frames, cfg.spec_channels))).astype(np.float32)
-        for _ in range(16)
-    ]
-    t0 = time.perf_counter()
-    futs = []
-    for i in range(args.n):
-        futs.append(
-            batcher.submit(
-                ConvertRequest(
-                    spec=specs[i % 16], n_frames=n_frames,
-                    g_src=ses[i % 8], g_tgt=ses[(i + 3) % 8], tau=0.3, seed=i,
-                )
-            )
-        )
-    for f in futs:
-        f.result(timeout=1200)
-    wall = time.perf_counter() - t0
+    walls = []
+    for _rep in range(args.reps):
+        t0 = time.perf_counter()
+        futs = [batcher.submit(make_req(i)) for i in range(args.n)]
+        for f in futs:
+            f.result(timeout=1200)
+        walls.append(time.perf_counter() - t0)
+    wall = float(np.median(walls))
     batcher.stop()
 
     audio_seconds = args.n * n_frames * cfg.hop_length / cfg.sampling_rate
@@ -84,9 +89,11 @@ def main() -> None:
                 "metric": "stream_audio_seconds_per_second_per_chip",
                 "value": round(audio_seconds / wall, 1),
                 "unit": "audio-s/s/chip",
+                "mode": "spec" if args.spec else "pcm",
                 "n_utterances": args.n,
                 "utterance_seconds": args.seconds,
                 "wall_seconds": round(wall, 3),
+                "wall_seconds_all_reps": [round(w, 3) for w in walls],
                 "batch": args.batch,
                 "request_latency_ms": snap["latency"].get("request_latency", {}),
                 "vs_baseline": round(audio_seconds / wall / 10.0, 2),

@@ -35,14 +35,45 @@ from openvoice_tpu.runtime.profiler import METRICS, trace
 
 @dataclass
 class ConvertRequest:
-    spec: np.ndarray  # [T, n_freq] true-length spectrogram
-    n_frames: int
-    g_src: np.ndarray  # [gin]
-    g_tgt: np.ndarray  # [gin]
+    spec: np.ndarray | None = None  # [T, n_freq] true-length spectrogram
+    n_frames: int = 0
+    g_src: np.ndarray | None = None  # [gin]
+    g_tgt: np.ndarray | None = None  # [gin]
     tau: float = 0.3
     seed: int = 0
+    # PCM fast path: raw mono waveform at cfg.sampling_rate instead of a
+    # precomputed spectrogram.  The STFT then runs INSIDE the batched jit
+    # graph and the host→device upload is int16 samples — ~16× fewer bytes
+    # than the f32 spectrogram (which dominated the 256-stream wall time
+    # through the ~16 MB/s dispatch tunnel).  n_frames is derived.
+    audio: np.ndarray | None = None
     future: Future = field(default_factory=Future)
     enqueued_at: float = field(default_factory=time.perf_counter)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg", "fast"))
+def _jit_convert_pcm16(params, cfg, pcm, spec_lengths, g_src, g_tgt, tau, seeds,
+                       fast=False, dec_cache=None):
+    """Whole serving path as ONE graph from int16 samples: PCM decode →
+    STFT → per-request device-side noise (PRNGKey per seed) → convert →
+    int16 wire encode.  Minimizes tunnel bytes in both directions."""
+    from openvoice_tpu.api import _spec_inner
+
+    audio_in = pcm.astype(jnp.float32) * (1.0 / 32767.0)
+    spec = _spec_inner(audio_in, cfg)
+    noise = jax.vmap(
+        lambda s: jax.random.normal(
+            jax.random.PRNGKey(s), (spec.shape[1], cfg.inter_channels)
+        )
+    )(seeds)
+    audio, _ = S.voice_conversion(
+        params, cfg, spec, spec_lengths, g_src, g_tgt, tau, noise,
+        fast=fast, dec_cache=dec_cache,
+    )
+    return jnp.round(jnp.clip(audio[..., 0], -1.0, 1.0) * 32767.0).astype(jnp.int16)
 
 
 class ConvertBatcher:
@@ -88,6 +119,12 @@ class ConvertBatcher:
         self._reader.join(timeout=120)
 
     def submit(self, req: ConvertRequest) -> Future:
+        if req.audio is not None and not req.n_frames:
+            cfg = self.cfg
+            pad = (cfg.filter_length - cfg.hop_length) // 2
+            req.n_frames = (
+                len(req.audio) + 2 * pad - cfg.filter_length
+            ) // cfg.hop_length + 1
         self._q.put(req)
         return req.future
 
@@ -128,18 +165,24 @@ class ConvertBatcher:
             oldest_due = min(r.enqueued_at for r in pending) + self.max_wait_s <= now
             if len(pending) < self.max_batch and not oldest_due:
                 continue
-            plan = plan_groups(
-                [r.n_frames for r in pending], max_batch=self.max_batch
-            )
             keep: list[ConvertRequest] = []
-            for idx, bucket, padded_batch in plan:
-                group = [pending[i] for i in idx]
-                full = len(group) >= self._full_batch
-                due = any(r.enqueued_at + self.max_wait_s <= now for r in group)
-                if full or due:
-                    self._dispatch(bucket, group, padded_batch)
-                else:
-                    keep.extend(group)
+            # PCM-mode and spec-mode requests run different jit graphs, so
+            # they are planned as separate pools
+            for mode in ([r for r in pending if r.audio is not None],
+                         [r for r in pending if r.audio is None]):
+                if not mode:
+                    continue
+                plan = plan_groups(
+                    [r.n_frames for r in mode], max_batch=self.max_batch
+                )
+                for idx, bucket, padded_batch in plan:
+                    group = [mode[i] for i in idx]
+                    full = len(group) >= self._full_batch
+                    due = any(r.enqueued_at + self.max_wait_s <= now for r in group)
+                    if full or due:
+                        self._dispatch(bucket, group, padded_batch)
+                    else:
+                        keep.extend(group)
             pending = keep
         # drain
         for r in pending:
@@ -151,17 +194,50 @@ class ConvertBatcher:
         cfg = self.cfg
         try:
             n = padded_batch or len(group)
-            spec = np.zeros((n, bucket, cfg.spec_channels), np.float32)
             lengths = np.zeros(n, np.int32)  # padded rows stay length 0 → fully masked
             g_src = np.zeros((n, 1, cfg.gin_channels), np.float32)
             g_tgt = np.zeros((n, 1, cfg.gin_channels), np.float32)
             taus = np.zeros((n, 1, 1), np.float32)
             for i, r in enumerate(group):
-                spec[i, : r.n_frames] = r.spec
                 lengths[i] = r.n_frames
                 g_src[i, 0] = r.g_src.reshape(-1)
                 g_tgt[i, 0] = r.g_tgt.reshape(-1)
                 taus[i, 0, 0] = r.tau
+            pcm_mode = group[0].audio is not None
+            t0 = time.perf_counter()
+            if pcm_mode:
+                # PCM fast path: upload int16 samples (~16× fewer bytes than
+                # the f32 spectrogram through the ~16 MB/s tunnel); the STFT
+                # runs inside the batched graph, and the per-request noise is
+                # drawn ON DEVICE from the request seeds — zero noise upload.
+                pad = (cfg.filter_length - cfg.hop_length) // 2
+                target = (bucket - 1) * cfg.hop_length + cfg.filter_length
+                pcm = np.zeros((n, target), np.int16)
+                seeds = np.zeros(n, np.uint32)
+                for i, r in enumerate(group):
+                    a = np.asarray(r.audio, np.float32)
+                    padded = np.concatenate(
+                        [a[1 : pad + 1][::-1], a, a[-pad - 1 : -1][::-1]]
+                    )[:target]
+                    pcm[i, : len(padded)] = np.round(
+                        np.clip(padded, -1.0, 1.0) * 32767.0
+                    ).astype(np.int16)
+                    seeds[i] = np.uint32(r.seed)
+                with trace("convert_batch"):
+                    audio = _jit_convert_pcm16(
+                        self.params, cfg, jnp.asarray(pcm), jnp.asarray(lengths),
+                        jnp.asarray(g_src), jnp.asarray(g_tgt), jnp.asarray(taus),
+                        jnp.asarray(seeds), fast=self.fast,
+                        dec_cache=self.dec_cache,
+                    )
+                dt = time.perf_counter() - t0
+                METRICS.add("busy_seconds", dt)
+                METRICS.add("batches")
+                self._readq.put((audio, group))
+                return
+            spec = np.zeros((n, bucket, cfg.spec_channels), np.float32)
+            for i, r in enumerate(group):
+                spec[i, : r.n_frames] = r.spec
             # host-side per-request noise: an eager jax.random.normal here
             # would be a BLOCKING device round-trip per request through the
             # dispatch tunnel (~60 ms each — measured 42 audio-s/s on the
@@ -173,7 +249,6 @@ class ConvertBatcher:
                     .standard_normal((bucket, cfg.inter_channels))
                     .astype(np.float32)
                 )
-            t0 = time.perf_counter()
             with trace("convert_batch"):
                 audio, _ = S.voice_conversion_jit(
                     self.params, cfg, jnp.asarray(spec), jnp.asarray(lengths),

@@ -42,19 +42,13 @@ class VoiceService:
     # ------------------------------------------------------------------
 
     def convert_audio(self, audio: np.ndarray, src_se, tgt_se, tau: float = 0.3, seed: int = 0) -> np.ndarray:
-        from openvoice_tpu.api import _spec_from_audio
-        from openvoice_tpu.api import _spec_btf
         from openvoice_tpu.serve.batcher import ConvertRequest
-        import jax.numpy as jnp
 
-        cfg = self.converter.cfg
-        padded, n_frames = _spec_from_audio(audio, cfg)
-        spec = np.asarray(
-            _spec_btf(jnp.asarray(padded)[None], cfg.filter_length, cfg.hop_length, cfg.win_length)
-        )[0, :n_frames]
+        # PCM fast path: the STFT runs inside the batched serving graph, so
+        # the request carries raw samples (int16 on the wire, ~16× fewer
+        # host→device bytes than the old spectrogram round-trip)
         req = ConvertRequest(
-            spec=spec,
-            n_frames=n_frames,
+            audio=np.asarray(audio, np.float32),
             g_src=np.asarray(src_se, np.float32).reshape(-1),
             g_tgt=np.asarray(tgt_se, np.float32).reshape(-1),
             tau=tau,

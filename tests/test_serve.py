@@ -66,6 +66,54 @@ def test_batcher_result_independent_of_batchmates(batcher):
     np.testing.assert_allclose(solo, batched, atol=2e-5)
 
 
+def test_pcm_fast_path_matches_spec_path(batcher):
+    """The PCM fast path (int16 upload, in-graph STFT, device-side noise)
+    must produce the same audio as the spectrogram path at tau=0 (where the
+    noise draw is inert) for the same waveform."""
+    from openvoice_tpu.api import _spec_from_audio, _spec_btf
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    wave = (rng.standard_normal(48 * TINY.hop_length) * 0.1).astype(np.float32)
+    # match what the PCM path actually uploads: int16-quantized samples
+    wave = np.round(np.clip(wave, -1, 1) * 32767.0).astype(np.int16) / np.float32(32767.0)
+    g_s = rng.standard_normal(TINY.gin_channels).astype(np.float32)
+    g_t = rng.standard_normal(TINY.gin_channels).astype(np.float32)
+
+    pcm_out = batcher.submit(ConvertRequest(
+        audio=wave, g_src=g_s, g_tgt=g_t, tau=0.0, seed=3,
+    )).result(timeout=300)
+
+    padded, n_frames = _spec_from_audio(wave.astype(np.float32), TINY)
+    spec = np.asarray(_spec_btf(
+        jnp.asarray(padded)[None], TINY.filter_length, TINY.hop_length,
+        TINY.win_length,
+    ))[0, :n_frames]
+    spec_out = batcher.submit(ConvertRequest(
+        spec=spec, n_frames=n_frames, g_src=g_s, g_tgt=g_t, tau=0.0, seed=3,
+    )).result(timeout=300)
+
+    assert pcm_out.shape == spec_out.shape
+    # int16 wire quantization on the output bounds the difference
+    np.testing.assert_allclose(pcm_out, spec_out, atol=3e-4)
+
+
+def test_pcm_fast_path_deterministic_per_seed(batcher):
+    """Device-side noise: same seed → identical audio; different seed →
+    different audio (tau>0 makes the draw live)."""
+    rng = np.random.default_rng(12)
+    wave = (rng.standard_normal(40 * TINY.hop_length) * 0.1).astype(np.float32)
+    g_s = rng.standard_normal(TINY.gin_channels).astype(np.float32)
+    g_t = rng.standard_normal(TINY.gin_channels).astype(np.float32)
+
+    mk = lambda seed: batcher.submit(ConvertRequest(
+        audio=wave, g_src=g_s, g_tgt=g_t, tau=0.4, seed=seed,
+    )).result(timeout=300)
+    a1, a2, b = mk(5), mk(5), mk(6)
+    np.testing.assert_array_equal(a1, a2)
+    assert np.max(np.abs(a1 - b)) > 1e-4
+
+
 def test_256_stream_with_fault_injection():
     """BASELINE config 5 as a test: a 256-utterance concurrent stream with a
     fault injected mid-stream.  Every request must complete — converted
