@@ -40,6 +40,16 @@ def main() -> None:
                          "the default, as in the served app)")
     args = ap.parse_args()
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    _last = [_t0]
+
+    def _mark(stage: str) -> None:
+        now = _time.perf_counter()
+        print(f"[{now - _t0:7.1f}s] {stage} (+{now - _last[0]:.1f}s)")
+        _last[0] = now
+
     from openvoice_tpu.api import BaseSpeakerTTS, ToneColorConverter
     from openvoice_tpu.config import V1_CONVERTER_CONFIG, v1_base_tts_config
     from openvoice_tpu.pipeline.se_extractor import get_se
@@ -57,9 +67,11 @@ def main() -> None:
 
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     tmp_path = os.path.join(os.path.dirname(args.output) or ".", "tmp_tts.wav")
+    _mark("models constructed")
     print("synthesizing...")
     tts.tts_batched(args.text, tmp_path, args.speaker, language=args.language,
                     speed=args.speed, fast=not args.parity)
+    _mark("TTS synthesis done")
     print(f"wrote base audio to {tmp_path}")
 
     if args.reference:
@@ -71,9 +83,12 @@ def main() -> None:
             conv.load_ckpt(args.converter_ckpt)
         else:
             conv.init_random(0)
+        _mark("converter constructed")
         src_se, _ = get_se(tmp_path, conv, target_dir="processed")
         tgt_se, _ = get_se(args.reference, conv, target_dir="processed")
+        _mark("speaker embeddings extracted")
         conv.convert(tmp_path, src_se, tgt_se, output_path=args.output, message="@MyShell")
+        _mark("tone conversion done")
         print(f"wrote converted audio to {args.output}")
     else:
         import shutil
