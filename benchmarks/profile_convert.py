@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 
 
-def slope(fn, short=4, long_=20, reps=3):
+def slope(fn, short=8, long_=56, reps=7):
+    """Median-of-7 chain slopes with long chains: the sub-ms components
+    (flows, enc_q) need far more averaging than the 5+ ms full graph —
+    with reps=3/short chains their per-run spread through the dispatch
+    tunnel exceeds the quantity being measured (observed flows_ms from
+    −0.02 to 0.69 ms run-to-run)."""
     fn(2)  # warm
     ss = sorted((fn(long_) - fn(short)) / (long_ - short) for _ in range(reps))
     return ss[len(ss) // 2]

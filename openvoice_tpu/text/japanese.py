@@ -206,6 +206,11 @@ def _normalize(text: str) -> str:
     text = text.strip()
     for src, dst in _GREETINGS:
         text = text.replace(src, dst)
+    # common kanji words → kana via longest-match table (r3; OOV kanji
+    # still raise the clear error below — see text/ja_readings.py)
+    from openvoice_tpu.text.ja_readings import replace_kanji_words
+
+    text = replace_kanji_words(text)
     text = re.sub(r"\d+(?:\.\d+)?", lambda m: number_to_kana(m.group()), text)
     text = _katakana_to_hiragana(text)
     for src, dst in _PUNCT.items():

@@ -128,9 +128,12 @@ def test_japanese_g2p():
     assert number_to_kana("600") == "ろっぴゃく"  # euphonic change
     out = japanese_to_ipa2("365にち")
     assert out.startswith("sambjakɯ")
-    # kanji needs a reading dictionary → clear error, not garbage
+    # common kanji words now read via the embedded table (r3); kanji
+    # OUTSIDE it still raise a clear error, not garbage — see
+    # test_japanese_common_kanji_sentences
+    assert japanese_to_ipa2("日本語") == "nihoŋgo"
     with pytest.raises(ValueError):
-        japanese_to_ipa2("日本語")
+        japanese_to_ipa2("麒麟")
 
 
 def test_korean_g2p():
@@ -362,6 +365,33 @@ def test_mandarin_polyphones_word_level():
     # 成长 zhǎng vs 长城 cháng
     assert "ts`⁼ɑŋ↓↑" in chinese_to_ipa("成长")
     assert "ts`ʰɑŋ↑" in chinese_to_ipa("长城")
+
+
+def test_japanese_common_kanji_sentences():
+    """r3: frequent kanji words read via the longest-match table + the
+    okurigana conjugation closure (text/ja_readings.py); previously ANY
+    kanji raised.  OOV kanji must still raise the clear error (no garbage
+    audio) — same philosophy as the Mandarin fallback tables."""
+    import pytest as _pytest
+
+    from openvoice_tpu.text.japanese import japanese_to_ipa2
+
+    cases = {
+        "今日は日本語を勉強します": "kjoohanihoŋgoobeŋkjooʃimasɯ",
+        "雨が降っています": "amegaɸɯtteemasɯ",  # 降る godan っ-form via closure
+        "週末に家族と映画を見ました": None,  # 見る ichidan stem entry
+        "先生は学校で英語を教えています": None,  # 教える ichidan closure
+        "電車に乗って会社へ行きます": None,
+        "昨日の夜、美味しい料理を食べました": None,  # jukujikun 美味しい
+    }
+    for text, expected in cases.items():
+        got = japanese_to_ipa2(text)
+        assert got, text
+        if expected is not None:
+            assert got == expected, (text, got)
+
+    with _pytest.raises(ValueError, match="reading dictionary"):
+        japanese_to_ipa2("彼は麒麟を飼っています")  # 麒麟: OOV kanji
 
 
 def test_mandarin_char_table_coverage():
