@@ -64,12 +64,15 @@ def main() -> None:
         return time.perf_counter() - t0
 
     chain(2)  # warm up compiles (convert graph + chain glue)
-    short, long_ = 8, 32
-    # median-of-5 slopes: the remote-dispatch tunnel occasionally hiccups for
-    # whole seconds in either direction (a slow `chain(short)` makes the slope
-    # negative), so neither min nor mean is robust — the median is
+    short, long_ = 8, 48
+    # median-of-9 long-chain slopes: the remote-dispatch tunnel hiccups for
+    # whole seconds in either direction (a slow `chain(short)` makes the
+    # slope negative), so neither min nor mean is robust — the median is.
+    # Weather is correlated across a run's window (whole runs measured
+    # 1552-1834 audio-s/s across one day), so more reps + longer chains
+    # narrow the within-run spread; the cross-run band is the tunnel's.
     slopes = sorted(
-        (chain(long_) - chain(short)) / (long_ - short) for _ in range(5)
+        (chain(long_) - chain(short)) / (long_ - short) for _ in range(9)
     )
     dt = max(slopes[len(slopes) // 2], 1e-9)
 

@@ -68,8 +68,8 @@ def main() -> None:
         t_this, c_this = t_in, c_in
         t_in *= u
         c_in = c_out
-        if plan is None or (plan["kind"] == "mrf" and c_out > 128):
-            continue  # s0 streams weights — interleave is gated off there
+        if plan is None:
+            continue  # (s0 streams weights; since r3 it interleaves too)
         kernel_sizes = tuple(
             dec["resblocks"][i * num_kernels + j]["convs1"][0]["w"].shape[0]
             for j in range(num_kernels)

@@ -445,8 +445,24 @@ def _mrf_kernel(
         ranges.append((t0, len(shifts)))
         t0 += len(shifts)
 
-    def w_dma(slot: int, ci: int):
-        tap0, n = ranges[ci]
+    # conv EXECUTION order: ascending sequentially; round-robin over the
+    # branch chains when interleaving (must match _run_branches)
+    if interleave:
+        cpb = len(meta) // n_branches
+        # _run_branches issues all three first-convs of a pair, THEN the
+        # three second-convs: b0c0 b1c0 b2c0 b0c1 b1c1 b2c1 …
+        exec_order = [
+            br * cpb + 2 * pair + half
+            for pair in range(cpb // 2)
+            for half in (0, 1)
+            for br in range(n_branches)
+        ]
+    else:
+        exec_order = list(range(len(meta)))
+    exec_pos = {ci: k for k, ci in enumerate(exec_order)}
+
+    def w_dma(slot: int, k: int):
+        tap0, n = ranges[exec_order[k]]
         return pltpu.make_async_copy(
             w_ref.at[pl.ds(tap0, n)], wbuf.at[slot, pl.ds(0, n)], wsem.at[slot]
         )
@@ -465,13 +481,14 @@ def _mrf_kernel(
         # shapes, an unacceptable per-bucket serving cost.)
         if stream:
             # multi-buffered per-conv weight slices HBM→VMEM: n_slots-1 convs
-            # are prefetched ahead; slot s is refilled only after its previous
-            # reader's matmuls were issued (in-order), so no race.  Streaming
-            # implies interleave=False, so ci arrives in ascending order.
-            if ci + n_slots - 1 < len(meta):
-                w_dma((ci + n_slots - 1) % n_slots, ci + n_slots - 1).start()
-            w_dma(ci % n_slots, ci).wait()
-            weights, base = wbuf.at[ci % n_slots], 0
+            # are prefetched ahead IN EXECUTION ORDER; slot s is refilled
+            # only after its previous reader's matmuls were issued
+            # (in-order), so no race.
+            k = exec_pos[ci]
+            if k + n_slots - 1 < len(meta):
+                w_dma((k + n_slots - 1) % n_slots, k + n_slots - 1).start()
+            w_dma(k % n_slots, k).wait()
+            weights, base = wbuf.at[k % n_slots], 0
         else:
             weights, base = w_ref, ranges[ci][0]
         xsl = xsls[br if interleave else 0]
@@ -553,8 +570,12 @@ def fused_mrf_stage(
     max_conv_taps = max(len(m) for m in meta)
     n_branches = len(kernel_sizes)
     if interleave is None:
+        # 128-lane resident stages interleave.  The streamed C=256 stage was
+        # TRIED with interleaved prefetch (r3, bench_interleave.py: 0.947 →
+        # 1.013 ms, a 6.5% REGRESSION — the extra slack buffers cost VMEM
+        # that the double-buffered weight slots need) and stays sequential.
         interleave = (not stream) and c_pad == 128 and n_branches > 1
-    interleave = interleave and not stream and n_branches > 1
+    interleave = interleave and n_branches > 1
     n_slack = n_branches if interleave else 1
 
     scratch = [

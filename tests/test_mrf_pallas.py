@@ -239,6 +239,24 @@ def test_interleaved_branches_bit_identical():
     ]
     np.testing.assert_array_equal(outs[0], outs[1])
 
+    # streamed variant (weights > VMEM budget → per-conv HBM prefetch): the
+    # prefetch order follows the interleaved execution order, results stay
+    # bit-identical to the sequential order
+    c, t = 192, 900
+    resblocks = _random_resblocks(rng, c)
+    x = jnp.asarray(rng.standard_normal((1, t, c)).astype(np.float32)) * 0.5
+    lengths = jnp.asarray([t - 41], jnp.int32)
+    w_all, b_all, _ = pack_stage_weights(resblocks, KS, DILS, dtype=jnp.float32)
+    assert w_all.size * 4 > 6 * 1024 * 1024
+    outs = [
+        np.asarray(fused_mrf_stage(
+            x, lengths, w_all, b_all, kernel_sizes=KS, dilation_sizes=DILS,
+            interleave=ilv, interpret=True,
+        ))
+        for ilv in (False, True)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+
     # tail kernel: shipped last-stage shape (u=2, C 64→32, fold 4)
     c_in, c_out, u, k_up = 64, 32, 2, 4
     resblocks = _random_resblocks(rng, c_out)
