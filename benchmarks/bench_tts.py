@@ -47,7 +47,12 @@ def main() -> None:
     encode = jax.jit(S.tts_encode, static_argnames=("cfg",))
     enc = encode(params, cfg, tokens, token_lengths, sid, jax.random.PRNGKey(1))
     y_lengths = np.asarray(jnp.sum(enc.w_ceil, axis=(1,)) ).astype(np.int64)
-    t_y = int(-(-int(y_lengths.max()) // 256) * 256)
+    # the SHIPPED frame-bucket policy (api.tts uses the same) — a hand-rolled
+    # 256-multiple here previously overstated padding (374 frames → 512
+    # instead of the 384 bucket) and understated serving throughput
+    from openvoice_tpu.runtime.bucketing import round_up_to_bucket
+
+    t_y = round_up_to_bucket(int(y_lengths.max()))
 
     decode = jax.jit(S.tts_decode, static_argnames=("cfg", "max_frames", "fast"))
     dec_cache = S.make_dec_cache(params, cfg) if args.fast else None
