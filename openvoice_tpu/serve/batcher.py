@@ -86,13 +86,35 @@ class ConvertBatcher:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         fast: bool = False,
+        mesh=None,
     ) -> None:
+        """mesh: a jax.sharding.Mesh with a "data" axis → data-parallel
+        serving: weights replicate across the mesh once at construction,
+        every dispatched batch is sharded over the data axis, and GSPMD
+        partitions the (unchanged) convert graph — one batcher drives all
+        chips.  Padded batch sizes round up to a multiple of the data-axis
+        size so every shard gets whole rows (padded rows carry length 0 and
+        are inert, same trick as single-device row padding)."""
+        self.mesh = mesh
+        self._data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(mesh, P())
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            params = jax.device_put(params, replicated)
         self.params = params
         self.cfg = cfg
         self.fast = fast
         # pre-packed fused-decoder weights keep inline packing out of the
         # serving graph (models/synthesizer.py::make_dec_cache)
         self.dec_cache = S.make_dec_cache(params, cfg) if fast else None
+        if mesh is not None and self.dec_cache is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.dec_cache = jax.device_put(
+                self.dec_cache, NamedSharding(mesh, P())
+            )
         self.max_batch = max_batch
         # largest batch size the planner can emit (same set plan_groups uses)
         self._full_batch = max(allowed_batch_sizes(max_batch))
@@ -194,6 +216,14 @@ class ConvertBatcher:
         cfg = self.cfg
         try:
             n = padded_batch or len(group)
+            if self.mesh is not None:
+                d = self.mesh.shape["data"]
+                n = -(-n // d) * d  # whole rows per data shard
+            put = (
+                (lambda a: jax.device_put(a, self._data_sharding))
+                if self._data_sharding is not None
+                else jnp.asarray
+            )
             lengths = np.zeros(n, np.int32)  # padded rows stay length 0 → fully masked
             g_src = np.zeros((n, 1, cfg.gin_channels), np.float32)
             g_tgt = np.zeros((n, 1, cfg.gin_channels), np.float32)
@@ -225,9 +255,9 @@ class ConvertBatcher:
                     seeds[i] = np.uint32(r.seed)
                 with trace("convert_batch"):
                     audio = _jit_convert_pcm16(
-                        self.params, cfg, jnp.asarray(pcm), jnp.asarray(lengths),
-                        jnp.asarray(g_src), jnp.asarray(g_tgt), jnp.asarray(taus),
-                        jnp.asarray(seeds), fast=self.fast,
+                        self.params, cfg, put(pcm), put(lengths),
+                        put(g_src), put(g_tgt), put(taus),
+                        put(seeds), fast=self.fast,
                         dec_cache=self.dec_cache,
                     )
                 dt = time.perf_counter() - t0
@@ -251,9 +281,9 @@ class ConvertBatcher:
                 )
             with trace("convert_batch"):
                 audio, _ = S.voice_conversion_jit(
-                    self.params, cfg, jnp.asarray(spec), jnp.asarray(lengths),
-                    jnp.asarray(g_src), jnp.asarray(g_tgt), jnp.asarray(taus),
-                    jnp.asarray(noise), fast=self.fast, dec_cache=self.dec_cache,
+                    self.params, cfg, put(spec), put(lengths),
+                    put(g_src), put(g_tgt), put(taus),
+                    put(noise), fast=self.fast, dec_cache=self.dec_cache,
                 )
                 # device-slice the unit dim NOW (the tunnel reads minor-dim-1
                 # arrays back element-wise) and wire-encode as int16 PCM —

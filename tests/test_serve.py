@@ -114,6 +114,46 @@ def test_pcm_fast_path_deterministic_per_seed(batcher):
     assert np.max(np.abs(a1 - b)) > 1e-4
 
 
+def test_mesh_data_parallel_batcher_matches_single_device():
+    """A batcher built over a ('data','model') mesh shards every dispatched
+    batch across the data axis (GSPMD partitions the unchanged graph);
+    results must match the single-device batcher for the same requests."""
+    from openvoice_tpu.runtime.mesh import make_mesh
+
+    if jax.device_count() < 4:
+        pytest.skip("needs the 8-virtual-device CPU backend")
+    params = S.init_synthesizer(jax.random.PRNGKey(0), TINY)
+    mesh = make_mesh(4, data=4, model=1)
+
+    b_single = ConvertBatcher(params, TINY, max_batch=4, max_wait_ms=10)
+    b_mesh = ConvertBatcher(params, TINY, max_batch=4, max_wait_ms=10, mesh=mesh)
+    b_single.start()
+    b_mesh.start()
+    try:
+        reqs = [(48, 3), (48, 4), (52, 5), (40, 6), (40, 7)]
+        singles = [b_single.submit(_req(n, seed=s)).result(timeout=300)
+                   for n, s in reqs]
+        futs = [b_mesh.submit(_req(n, seed=s)) for n, s in reqs]
+        for (n, s), single, fut in zip(reqs, singles, futs):
+            sharded = fut.result(timeout=300)
+            assert sharded.shape == single.shape
+            np.testing.assert_allclose(sharded, single, atol=5e-5)
+
+        # PCM path under the mesh too (device-side per-seed noise)
+        rng = np.random.default_rng(21)
+        wave = (rng.standard_normal(48 * TINY.hop_length) * 0.1).astype(np.float32)
+        g_s = rng.standard_normal(TINY.gin_channels).astype(np.float32)
+        g_t = rng.standard_normal(TINY.gin_channels).astype(np.float32)
+        one = b_single.submit(ConvertRequest(
+            audio=wave, g_src=g_s, g_tgt=g_t, tau=0.0, seed=9)).result(timeout=300)
+        two = b_mesh.submit(ConvertRequest(
+            audio=wave, g_src=g_s, g_tgt=g_t, tau=0.0, seed=9)).result(timeout=300)
+        np.testing.assert_allclose(two, one, atol=5e-4)
+    finally:
+        b_single.stop()
+        b_mesh.stop()
+
+
 def test_256_stream_with_fault_injection():
     """BASELINE config 5 as a test: a 256-utterance concurrent stream with a
     fault injected mid-stream.  Every request must complete — converted
