@@ -279,10 +279,14 @@ class ToneColorConverter(OpenVoiceBaseClass):
         else:
             audio = np.asarray(audio_src_path, np.float32)
         padded, n_frames = _spec_from_audio(audio, cfg)
-        spec = np.asarray(
-            _spec_btf(jnp.asarray(padded)[None], cfg.filter_length, cfg.hop_length,
-                      cfg.win_length)
-        )
+        # host numpy STFT: the streaming design keeps the full spectrogram
+        # in host RAM anyway, and a device STFT + [T, 513] f32 readback
+        # costs ~1 GB/hour of audio through a remote dispatch tunnel
+        from openvoice_tpu.audio.stft import host_spectrogram
+
+        spec = host_spectrogram(
+            padded, cfg.filter_length, cfg.hop_length, cfg.win_length
+        )[None]
         noise = np.random.default_rng(seed).standard_normal(
             (1, n_frames, cfg.inter_channels)).astype(np.float32)
         from openvoice_tpu.runtime.streaming import voice_conversion_streaming

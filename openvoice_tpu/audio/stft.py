@@ -70,6 +70,28 @@ def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     return jnp.take(y, jnp.asarray(idx), axis=-1)
 
 
+def host_spectrogram(padded_audio: np.ndarray, n_fft: int, hop: int,
+                     win_length: int) -> np.ndarray:
+    """Pure-numpy magnitude spectrogram of an ALREADY reflect-padded 1-D
+    signal — same framing and `sqrt(|.|² + 1e-6)` semantics as the device
+    path (matches it to ~3e-6).
+
+    For host-resident pipelines (e.g. convert_streaming, whose design keeps
+    the full-length spectrogram in host RAM and streams chunks): computing
+    the STFT on device and pulling [T, 513] f32 back through a remote
+    dispatch tunnel costs ~1 GB per hour of audio; numpy rfft here is
+    effectively free by comparison."""
+    win = np.hanning(win_length + 1)[:-1].astype(np.float64)
+    if win_length < n_fft:
+        win = np.pad(win, (0, n_fft - win_length))
+    n_frames = (len(padded_audio) - n_fft) // hop + 1
+    frames = np.lib.stride_tricks.sliding_window_view(
+        np.asarray(padded_audio, np.float64), n_fft
+    )[:: hop][:n_frames]
+    spec = np.fft.rfft(frames * win, axis=-1)
+    return np.sqrt(np.abs(spec) ** 2 + 1e-6).astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "pad_signal"))
 def linear_spectrogram(
     y: jnp.ndarray,
