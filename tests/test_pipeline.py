@@ -120,6 +120,22 @@ def test_watermark_survives_gain_plus_offset():
     assert wm.detect_watermark(abused, 2) == "test1234"
 
 
+def test_watermark_survives_full_abuse_chain():
+    """Realistic worst case in one chain: 22.05→16→22.05 kHz resample
+    round-trip, PCM16 quantization, 0.85× re-gain, AND a 300-sample
+    leading pad — the detector's resync + lattice gain estimate must
+    still decode (each abuse is tested individually above)."""
+    from openvoice_tpu.audio.io import resample
+
+    rng = np.random.default_rng(8)
+    audio = (rng.standard_normal(16000 * 8) * 0.1).astype(np.float32)
+    marked = wm.add_watermark(audio, "@MyShell")
+    abused = resample(resample(marked, 22050, 16000), 16000, 22050)
+    abused = (np.round(np.clip(abused, -1, 1) * 32767) / 32767).astype(np.float32)
+    abused = np.concatenate([np.zeros(300, np.float32), abused * 0.85])
+    assert wm.detect_watermark(abused, 2) == "@MyShell"
+
+
 def test_watermark_rejects_unwatermarked():
     """No lattice at any (offset, gain) → 'Fail', not a garbage decode."""
     rng = np.random.default_rng(6)
