@@ -63,10 +63,13 @@ def train(
             state = CIO.load_checkpoint(f"{ckpt_dir}/step_{latest}", template=state)
             start_step = latest
 
+    from openvoice_tpu.training.data import PrefetchIterator
+
     step = start_step
     t0 = time.time()
     while step < steps:
-        for spec, audio, lengths, g in ds:
+        # host batch prep overlaps the device step (data.py::PrefetchIterator)
+        for spec, audio, lengths, g in PrefetchIterator(iter(ds)):
             if step >= steps:
                 break
             if mesh is not None:

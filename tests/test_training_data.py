@@ -64,6 +64,33 @@ def test_batch_iteration_shapes(dataset_dir):
     assert np.isfinite(spec).all() and (spec >= 0).all()
 
 
+def test_prefetch_iterator_matches_direct(dataset_dir):
+    """PrefetchIterator yields the same batches in the same order as
+    iterating directly (background thread, bounded queue), and propagates
+    worker exceptions to the consumer."""
+    import pytest
+
+    from openvoice_tpu.training.data import PrefetchIterator
+
+    ds1 = ConverterDataset(dataset_dir, TINY, batch_size=2, segment_frames=64, seed=5)
+    ds2 = ConverterDataset(dataset_dir, TINY, batch_size=2, segment_frames=64, seed=5)
+    direct = list(iter(ds1))
+    fetched = list(PrefetchIterator(iter(ds2), depth=2))
+    assert len(direct) == len(fetched) > 0
+    for a, b in zip(direct, fetched):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def boom():
+        yield 1
+        raise RuntimeError("worker died")
+
+    it = PrefetchIterator(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="worker died"):
+        next(it)
+
+
 def test_train_step_consumes_batches(dataset_dir):
     from openvoice_tpu.training.train import init_train_state, train_step
     import jax.numpy as jnp
