@@ -556,6 +556,22 @@ def lexicon_pron(word: str) -> str | None:
         return _LEXICON[word[:-3] + "y"] + "z"  # study→studies: i-final, +z
     if word.endswith("ied") and word[:-3] + "y" in _LEXICON:
         return _LEXICON[word[:-3] + "y"] + "d"
+    # comparative/agentive -er(s), superlative -est (CMUdict pronounces
+    # these regularly: older = oʊld + ər, researchers = rɪˈsərʧ + ərz)
+    for suf, tail in (("ers", "ərz"), ("er", "ər"), ("est", "əst")):
+        if not word.endswith(suf):
+            continue
+        stem = word[: -len(suf)]
+        base = _LEXICON.get(stem)
+        if base is None and (stem + "e") in _LEXICON:  # large→larger
+            base = _LEXICON[stem + "e"]
+        if base is None and len(stem) >= 2 and stem[-1] == stem[-2] \
+                and stem[:-1] in _LEXICON:  # big→bigger
+            base = _LEXICON[stem[:-1]]
+        if base is not None:
+            if "ˈ" not in base and "ˌ" not in base:
+                return "ˈ" + base + tail
+            return base + tail
     if word.endswith("'s") and word[:-2] in _LEXICON:  # possessive
         base = _LEXICON[word[:-2]]
         last = base[-1]
