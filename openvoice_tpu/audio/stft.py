@@ -83,7 +83,10 @@ def host_spectrogram(padded_audio: np.ndarray, n_fft: int, hop: int,
     effectively free by comparison."""
     win = np.hanning(win_length + 1)[:-1].astype(np.float64)
     if win_length < n_fft:
-        win = np.pad(win, (0, n_fft - win_length))
+        # center-pad exactly like stft_basis / torch.stft: (n_fft-win)//2 on
+        # the left, remainder on the right
+        pad_l = (n_fft - win_length) // 2
+        win = np.pad(win, (pad_l, n_fft - win_length - pad_l))
     n_frames = (len(padded_audio) - n_fft) // hop + 1
     frames = np.lib.stride_tricks.sliding_window_view(
         np.asarray(padded_audio, np.float64), n_fft

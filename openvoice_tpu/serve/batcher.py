@@ -46,6 +46,16 @@ class ConvertRequest:
     # graph and the host→device upload is int16 samples — ~16× fewer bytes
     # than the f32 spectrogram (which dominated the 256-stream wall time
     # through the ~16 MB/s dispatch tunnel).  n_frames is derived.
+    #
+    # Noise semantics per path (deliberate, pinned by
+    # tests/test_serve.py::test_seed_semantics_per_path): at tau>0 the PCM
+    # path draws its posterior noise ON DEVICE from
+    # jax.random.PRNGKey(seed) (zero upload bytes), while the spec path —
+    # like ToneColorConverter.convert — draws it on host from
+    # np.random.default_rng(seed).  Both are deterministic per seed, but
+    # the streams differ, so the same seed produces different (equally
+    # valid) audio through the two paths.  Seed-exact compatibility with
+    # ToneColorConverter.convert requires the spec path.
     audio: np.ndarray | None = None
     future: Future = field(default_factory=Future)
     enqueued_at: float = field(default_factory=time.perf_counter)

@@ -534,13 +534,17 @@ def _lexicon_base(word: str, suf: str) -> str | None:
     regular spelling changes: silent-e drop (arrive→arrived, wave→waving),
     y→ie (study→studies/studied), final-consonant doubling (chop→chopping)."""
     stem = word[: -len(suf)]
-    if stem in _LEXICON:
-        return _LEXICON[stem]
+    # un-doubled VC+ed/ing/es spellings come from the silent-e base in
+    # English orthography (striped←stripe, planed←plane); the bare stem's
+    # own inflection doubles the consonant and is handled below — so when
+    # both bases exist, the silent-e base wins (advisor r3)
     if suf in ("ed", "ing", "es"):
         if stem + "e" in _LEXICON:  # silent-e base: arrived, waving, boxes? no — es keeps stem
             return _LEXICON[stem + "e"]
         if len(stem) >= 2 and stem[-1] == stem[-2] and stem[:-1] in _LEXICON:
             return _LEXICON[stem[:-1]]  # doubled consonant: chopping, begged
+    if stem in _LEXICON:
+        return _LEXICON[stem]
     return None
 
 
@@ -560,6 +564,10 @@ def lexicon_pron(word: str) -> str | None:
     # these regularly: older = oʊld + ər, researchers = rɪˈsərʧ + ərz)
     for suf, tail in (("ers", "ərz"), ("er", "ər"), ("est", "əst")):
         if not word.endswith(suf):
+            continue
+        # a direct lexicon entry for the -er form outranks the er-derivation
+        # (flowers = flower+z, not flow+ərz); fall through to the plural path
+        if suf == "ers" and word[:-1] in _LEXICON:
             continue
         stem = word[: -len(suf)]
         base = _LEXICON.get(stem)

@@ -166,18 +166,48 @@ class PrefetchIterator:
         self._q: "_queue.Queue" = _queue.Queue(maxsize=depth)
         self._done = object()
         self._err: list[BaseException] = []
+        self._stop = _threading.Event()
 
         def worker() -> None:
             try:
                 for item in iterable:
-                    self._q.put(item)
+                    # bounded put would block forever if the consumer exits
+                    # early; poll the stop flag so close() can unblock us
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except _queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
                 self._err.append(e)
             finally:
-                self._q.put(self._done)
+                try:
+                    self._q.put_nowait(self._done)
+                except _queue.Full:
+                    pass  # consumer gone; close() drains
 
         self._thread = _threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Stop the worker and release in-flight batches; idempotent.  Call
+        when abandoning the iterator before exhaustion (early train() exit)."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except Exception:
+                break
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __iter__(self):
         return self

@@ -68,34 +68,36 @@ def train(
     step = start_step
     t0 = time.time()
     while step < steps:
-        # host batch prep overlaps the device step (data.py::PrefetchIterator)
-        for spec, audio, lengths, g in PrefetchIterator(iter(ds)):
-            if step >= steps:
-                break
-            if mesh is not None:
-                spec = make_global_batch(spec, mesh)
-                audio = make_global_batch(audio, mesh)
-                lengths = make_global_batch(lengths, mesh)
-                g = make_global_batch(g, mesh)
-            else:
-                spec, audio = jnp.asarray(spec), jnp.asarray(audio)
-                lengths, g = jnp.asarray(lengths), jnp.asarray(g)
-            key, sub = jax.random.split(key)
-            if adversarial:
-                state, metrics = T.gan_train_step(
-                    state, cfg, spec, audio, lengths, g, sub,
-                    segment_frames=min(32, segment_frames), lr=lr,
-                )
-            else:
-                state, metrics = T.train_step(state, cfg, spec, audio, lengths, g, sub, lr=lr)
-            step += 1
-            if log_every and step % log_every == 0 and jax.process_index() == 0:
-                ms = {k: round(float(v), 4) for k, v in metrics.items()}
-                print(f"[train] step {step}/{steps} ({(time.time()-t0):.1f}s) {ms}", flush=True)
-            if ckpt_dir is not None and step % ckpt_every == 0 and jax.process_index() == 0:
-                from openvoice_tpu.ckpt import native_io as CIO
+        # host batch prep overlaps the device step (data.py::PrefetchIterator);
+        # the with-block stops the worker thread on early exit
+        with PrefetchIterator(iter(ds)) as prefetch:
+            for spec, audio, lengths, g in prefetch:
+                if step >= steps:
+                    break
+                if mesh is not None:
+                    spec = make_global_batch(spec, mesh)
+                    audio = make_global_batch(audio, mesh)
+                    lengths = make_global_batch(lengths, mesh)
+                    g = make_global_batch(g, mesh)
+                else:
+                    spec, audio = jnp.asarray(spec), jnp.asarray(audio)
+                    lengths, g = jnp.asarray(lengths), jnp.asarray(g)
+                key, sub = jax.random.split(key)
+                if adversarial:
+                    state, metrics = T.gan_train_step(
+                        state, cfg, spec, audio, lengths, g, sub,
+                        segment_frames=min(32, segment_frames), lr=lr,
+                    )
+                else:
+                    state, metrics = T.train_step(state, cfg, spec, audio, lengths, g, sub, lr=lr)
+                step += 1
+                if log_every and step % log_every == 0 and jax.process_index() == 0:
+                    ms = {k: round(float(v), 4) for k, v in metrics.items()}
+                    print(f"[train] step {step}/{steps} ({(time.time()-t0):.1f}s) {ms}", flush=True)
+                if ckpt_dir is not None and step % ckpt_every == 0 and jax.process_index() == 0:
+                    from openvoice_tpu.ckpt import native_io as CIO
 
-                CIO.save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state), step=step)
+                    CIO.save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state), step=step)
     if ckpt_dir is not None and jax.process_index() == 0 and step != start_step:
         from openvoice_tpu.ckpt import native_io as CIO
 

@@ -91,6 +91,24 @@ def test_stft_win_shorter_than_nfft():
     np.testing.assert_allclose(mag_j, mag_t, atol=1e-4)
 
 
+@pytest.mark.parametrize("win", [1024, 800])
+def test_host_spectrogram_matches_device(win):
+    """host_spectrogram must match linear_spectrogram including centered
+    window padding when win_length < n_fft (the device path / torch.stft
+    center-pad the short window; the host path must too)."""
+    from openvoice_tpu.audio.stft import host_spectrogram
+
+    n_fft, hop = 1024, 256
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(9000) * 0.3).astype(np.float32)
+    pad = (n_fft - hop) // 2
+    padded = np.concatenate([x[1 : pad + 1][::-1], x, x[-pad - 1 : -1][::-1]])
+    mag_h = host_spectrogram(padded, n_fft, hop, win)  # [T, n_freq]
+    mag_d = np.asarray(linear_spectrogram(x[None], n_fft, hop, win))[0].T
+    assert mag_h.shape == mag_d.shape
+    np.testing.assert_allclose(mag_h, mag_d, atol=2e-5)
+
+
 def test_mel_filterbank_properties():
     fb = mel_filterbank(22050, 1024, 80, 0.0, None)
     assert fb.shape == (80, 513)

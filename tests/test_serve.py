@@ -114,6 +114,54 @@ def test_pcm_fast_path_deterministic_per_seed(batcher):
     assert np.max(np.abs(a1 - b)) > 1e-4
 
 
+def test_seed_semantics_per_path(batcher):
+    """Pins the documented per-path noise semantics at tau>0 (batcher.py
+    ConvertRequest): the spec path keeps ToneColorConverter.convert's
+    host-rng stream (np.random.default_rng(seed)) exactly, while the PCM
+    path's device-side PRNGKey(seed) stream is deterministic but different
+    — the same seed legitimately yields different audio across paths."""
+    from openvoice_tpu.api import _spec_from_audio, _spec_btf
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    wave = (rng.standard_normal(48 * TINY.hop_length) * 0.1).astype(np.float32)
+    wave = np.round(np.clip(wave, -1, 1) * 32767.0).astype(np.int16) / np.float32(32767.0)
+    g_s = rng.standard_normal(TINY.gin_channels).astype(np.float32)
+    g_t = rng.standard_normal(TINY.gin_channels).astype(np.float32)
+    tau, seed = 0.4, 17
+
+    padded, n_frames = _spec_from_audio(wave.astype(np.float32), TINY)
+    spec = np.asarray(_spec_btf(
+        jnp.asarray(padded)[None], TINY.filter_length, TINY.hop_length,
+        TINY.win_length,
+    ))[0, :n_frames]
+
+    spec_out = batcher.submit(ConvertRequest(
+        spec=spec, n_frames=n_frames, g_src=g_s, g_tgt=g_t, tau=tau, seed=seed,
+    )).result(timeout=300)
+    pcm_out = batcher.submit(ConvertRequest(
+        audio=wave, g_src=g_s, g_tgt=g_t, tau=tau, seed=seed,
+    )).result(timeout=300)
+
+    # (a) spec path == direct host-noise convert (the converter.convert
+    # semantics), up to int16 wire quantization
+    noise = np.random.default_rng(seed).standard_normal(
+        (n_frames, TINY.inter_channels)).astype(np.float32)
+    direct, _ = S.voice_conversion_jit(
+        batcher.params, TINY, jnp.asarray(spec)[None],
+        jnp.asarray([n_frames]), jnp.asarray(g_s)[None, None],
+        jnp.asarray(g_t)[None, None],
+        jnp.full((1, 1, 1), tau, np.float32), jnp.asarray(noise)[None],
+    )
+    direct = np.asarray(direct)[0, : n_frames * TINY.upsample_factor, 0]
+    np.testing.assert_allclose(spec_out, direct, atol=3e-4)
+
+    # (b) PCM path: same shape, deterministic (covered elsewhere), but a
+    # DIFFERENT stream — the documented compatibility break
+    assert pcm_out.shape == spec_out.shape
+    assert np.max(np.abs(pcm_out - spec_out)) > 1e-3
+
+
 def test_mesh_data_parallel_batcher_matches_single_device():
     """A batcher built over a ('data','model') mesh shards every dispatched
     batch across the data axis (GSPMD partitions the unchanged graph);

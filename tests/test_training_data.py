@@ -91,6 +91,29 @@ def test_prefetch_iterator_matches_direct(dataset_dir):
         next(it)
 
 
+def test_prefetch_iterator_close_stops_worker():
+    """Abandoning the iterator early must not leak the worker thread: the
+    worker blocks on the bounded queue, close() unblocks and joins it."""
+    from openvoice_tpu.training.data import PrefetchIterator
+
+    def endless():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    it = PrefetchIterator(endless(), depth=2)
+    assert next(it) == 0  # worker is alive and producing
+    it.close()
+    assert not it._thread.is_alive()
+    it.close()  # idempotent
+
+    # context-manager form used by training.loop.train
+    with PrefetchIterator(endless(), depth=2) as it2:
+        assert next(it2) == 0
+    assert not it2._thread.is_alive()
+
+
 def test_train_step_consumes_batches(dataset_dir):
     from openvoice_tpu.training.train import init_train_state, train_step
     import jax.numpy as jnp
