@@ -202,6 +202,49 @@ def test_mesh_data_parallel_batcher_matches_single_device():
         b_mesh.stop()
 
 
+def test_distributed_convert_service_single_process():
+    """Lock-step DistributedConvertService (the multi-process serving tier,
+    exercised for real in tests/_multiproc_child.py) degrades to a correct
+    single-process data-parallel service on the virtual mesh."""
+    import jax.numpy as jnp
+
+    from openvoice_tpu.runtime.bucketing import round_up_to_bucket
+    from openvoice_tpu.runtime.mesh import make_mesh
+    from openvoice_tpu.serve.distributed import DistRequest, DistributedConvertService
+
+    if jax.device_count() < 4:
+        pytest.skip("needs the 8-virtual-device CPU backend")
+    params = S.init_synthesizer(jax.random.PRNGKey(0), TINY)
+    svc = DistributedConvertService(params, TINY, make_mesh(4, data=4, model=1))
+    rng = np.random.default_rng(3)
+    reqs = [
+        DistRequest(
+            spec=np.abs(rng.standard_normal((nf, TINY.spec_channels))).astype(np.float32),
+            n_frames=nf,
+            g_src=rng.standard_normal(TINY.gin_channels).astype(np.float32),
+            g_tgt=rng.standard_normal(TINY.gin_channels).astype(np.float32),
+            tau=0.3, seed=40 + i,
+        )
+        for i, nf in enumerate([40, 48, 56])
+    ]
+    outs = svc.convert_round(reqs)
+    assert len(outs) == 3
+    bucket = round_up_to_bucket(max(r.n_frames for r in reqs))
+    for r, out in zip(reqs, outs):
+        spec = np.zeros((1, bucket, TINY.spec_channels), np.float32)
+        spec[0, : r.n_frames] = r.spec
+        noise = np.random.default_rng(r.seed).standard_normal(
+            (bucket, TINY.inter_channels)).astype(np.float32)[None]
+        audio, _ = S.voice_conversion_jit(
+            params, TINY, jnp.asarray(spec), jnp.asarray([r.n_frames]),
+            jnp.asarray(r.g_src)[None, None], jnp.asarray(r.g_tgt)[None, None],
+            jnp.full((1, 1, 1), r.tau, np.float32), jnp.asarray(noise),
+        )
+        truth = np.asarray(audio)[0, : r.n_frames * TINY.upsample_factor, 0]
+        np.testing.assert_allclose(out, truth, atol=2e-5)
+    assert svc.convert_round([]) == []
+
+
 def test_256_stream_with_fault_injection():
     """BASELINE config 5 as a test: a 256-utterance concurrent stream with a
     fault injected mid-stream.  Every request must complete — converted
