@@ -124,9 +124,15 @@ class DistributedConvertService:
             g_src[i, 0] = np.asarray(r.g_src).reshape(-1)
             g_tgt[i, 0] = np.asarray(r.g_tgt).reshape(-1)
             taus[i, 0, 0] = r.tau
-            noise[i] = (
+            # draw only the LIVE rows: numpy's row-major fill makes this
+            # prefix-equal to any bucket-sized draw from the same seed
+            # (api.py convert notes the same invariant), so results do not
+            # depend on which round/bucket a request lands in — required
+            # for elastic re-runs to reproduce bit-equal audio.  Padded
+            # rows are masked-inert in the graph.
+            noise[i, : r.n_frames] = (
                 np.random.default_rng(r.seed)
-                .standard_normal((bucket, cfg.inter_channels))
+                .standard_normal((r.n_frames, cfg.inter_channels))
                 .astype(np.float32)
             )
 

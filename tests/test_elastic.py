@@ -1,0 +1,180 @@
+"""Elastic recovery tests (SURVEY.md §5.3): a host is ACTUALLY killed with
+SIGKILL mid-stream, the failure is detected via collective timeout, and the
+shrunk world restarts the in-flight batch — every request completes with
+output equal to single-process truth."""
+
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+from openvoice_tpu.runtime.elastic import EX_TEMPFAIL, Supervisor, WorkLog
+
+from tests._elastic_child import TINY
+
+N_REQUESTS = 8
+
+
+def _make_requests(rng: np.random.Generator) -> list[dict]:
+    reqs = []
+    for i in range(N_REQUESTS):
+        nf = 16 + 4 * (i % 3)
+        reqs.append({
+            "spec": np.abs(rng.standard_normal((nf, TINY.spec_channels))).astype(np.float32),
+            "n_frames": nf,
+            "g_src": rng.standard_normal(TINY.gin_channels).astype(np.float32),
+            "g_tgt": rng.standard_normal(TINY.gin_channels).astype(np.float32),
+            "tau": 0.3,
+            "seed": 500 + i,
+        })
+    return reqs
+
+
+def _truth(params, req: dict) -> np.ndarray:
+    """Single-device truth with the spec-path host-noise semantics the
+    service pins (bucket = the one the service derives from the request
+    pool: all n_frames ≤ 24 → first bucket)."""
+    import jax.numpy as jnp
+
+    from openvoice_tpu.models import synthesizer as S
+    from openvoice_tpu.runtime.bucketing import round_up_to_bucket
+
+    nf = int(req["n_frames"])
+    bucket = round_up_to_bucket(max(16 + 4 * (i % 3) for i in range(N_REQUESTS)))
+    spec = np.zeros((1, bucket, TINY.spec_channels), np.float32)
+    spec[0, :nf] = req["spec"]
+    noise = np.random.default_rng(int(req["seed"])).standard_normal(
+        (bucket, TINY.inter_channels)).astype(np.float32)[None]
+    audio, _ = S.voice_conversion_jit(
+        params, TINY, jnp.asarray(spec), jnp.asarray([nf]),
+        jnp.asarray(req["g_src"])[None, None], jnp.asarray(req["g_tgt"])[None, None],
+        jnp.full((1, 1, 1), float(req["tau"]), np.float32), jnp.asarray(noise),
+    )
+    return np.asarray(audio)[0, : nf * TINY.upsample_factor, 0]
+
+
+@pytest.fixture()
+def worklog(tmp_path):
+    from openvoice_tpu.models import synthesizer as S
+
+    log = WorkLog(str(tmp_path))
+    params = jax.tree.map(np.asarray, S.init_synthesizer(jax.random.PRNGKey(0), TINY))
+    log.write_params(params)
+    log.write_requests(_make_requests(np.random.default_rng(42)))
+    return log, params
+
+
+def _worker_cmd_factory(state_dir: str, round_sleep: float = 0.0):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def cmd(coordinator, world, pid):
+        return [
+            sys.executable, "-m", "tests._elastic_child",
+            state_dir, coordinator or "none", str(world), str(pid),
+            str(round_sleep),
+        ]
+
+    return cmd, repo
+
+
+def _clean_env():
+    return {k: v for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+
+def test_worklog_roundtrip(tmp_path):
+    log = WorkLog(str(tmp_path))
+    reqs = _make_requests(np.random.default_rng(0))
+    log.write_requests(reqs)
+    back = log.load_requests()
+    assert len(back) == N_REQUESTS
+    np.testing.assert_array_equal(back[3]["spec"], reqs[3]["spec"])
+    assert log.pending_ids() == list(range(N_REQUESTS))
+    log.mark_done(2, np.ones(5, np.float32))
+    assert log.pending_ids() == [i for i in range(N_REQUESTS) if i != 2]
+    np.testing.assert_array_equal(log.load_result(2), np.ones(5, np.float32))
+
+
+def test_elastic_kill_one_host_mid_stream(worklog, tmp_path):
+    """kill -9 one worker of a 2-process world mid-stream; the Supervisor
+    detects the dead world, relaunches shrunk (1 process), and the batch
+    completes — every request's audio equals single-process truth."""
+    log, params = worklog
+    cmd, repo = _worker_cmd_factory(str(tmp_path), round_sleep=0.6)
+    env = _clean_env()
+    env["PYTHONPATH"] = repo
+
+    from openvoice_tpu.runtime.elastic import _free_port
+
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            cmd(coordinator, 2, pid), cwd=repo, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    # wait until real work has completed (first done marker), then kill
+    # worker 1 with SIGKILL — a genuine dead host, mid-stream
+    deadline = time.monotonic() + 240
+    while not log.done_ids():
+        if time.monotonic() > deadline:
+            for p in procs:
+                p.kill()
+            outs = [p.communicate()[0] for p in procs]
+            pytest.fail("no request completed before kill:\n" + "\n".join(outs))
+        if any(p.poll() is not None for p in procs):
+            outs = [p.communicate()[0] if p.poll() is not None else "" for p in procs]
+            pytest.fail("worker exited before kill:\n" + "\n".join(outs))
+        time.sleep(0.05)
+    procs[1].kill()  # SIGKILL
+
+    rcs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        rcs.append(p.returncode)
+    assert rcs[1] == -9  # the injected death
+    # survivor: voluntary EX_TEMPFAIL via heartbeat, or the XLA fatal —
+    # either way it did NOT exit clean, and work is pending
+    assert rcs[0] != 0
+    pending_before = log.pending_ids(N_REQUESTS)
+    assert pending_before, "kill landed after all work finished — widen round_sleep"
+
+    # recovery: shrunk world (starts at the surviving host count)
+    sup = Supervisor(str(tmp_path), cmd, world=1, max_restarts=2, env=env)
+    assert sup.run(timeout_s=300), f"recovery failed: {sup.history}"
+    assert not log.pending_ids(N_REQUESTS)
+
+    # every request — including those in flight at the kill — has output
+    # equal to single-process truth
+    reqs = log.load_requests()
+    for i, req in enumerate(reqs):
+        out = log.load_result(i)
+        truth = _truth(params, req)
+        assert out.shape == truth.shape
+        np.testing.assert_allclose(out, truth, atol=2e-5)
+
+
+def test_supervisor_full_run_no_failure(worklog, tmp_path):
+    """Happy path: a 2-process world completes the whole WorkLog with zero
+    restarts; results equal single-process truth."""
+    log, params = worklog
+    cmd, repo = _worker_cmd_factory(str(tmp_path))
+    env = _clean_env()
+    env["PYTHONPATH"] = repo
+    sup = Supervisor(str(tmp_path), cmd, world=2, max_restarts=1, env=env)
+    assert sup.run(timeout_s=300), f"run failed: {sup.history}"
+    assert sup.restarts == 0
+    assert not log.pending_ids(N_REQUESTS)
+    reqs = log.load_requests()
+    for i, req in enumerate(reqs):
+        np.testing.assert_allclose(log.load_result(i), _truth(params, req), atol=2e-5)
