@@ -19,8 +19,12 @@ from openvoice_tpu.text.mandarin import chinese_to_ipa
 
 
 def cjke_cleaners2(text: str) -> str:
+    # strict=False: the cleaner is the serving-facing path, and all
+    # languages degrade uniformly on OOV (warn-and-skip like ZH,
+    # VERDICT r3 next #4) — a rare kanji must not throw a request away.
+    # Library users wanting the hard error call japanese_to_ipa2(strict=True).
     text = re.sub(r"\[ZH\](.*?)\[ZH\]", lambda m: chinese_to_ipa(m.group(1)) + " ", text)
-    text = re.sub(r"\[JA\](.*?)\[JA\]", lambda m: japanese_to_ipa2(m.group(1)) + " ", text)
+    text = re.sub(r"\[JA\](.*?)\[JA\]", lambda m: japanese_to_ipa2(m.group(1), strict=False) + " ", text)
     text = re.sub(r"\[KO\](.*?)\[KO\]", lambda m: korean_to_ipa(m.group(1)) + " ", text)
     text = re.sub(r"\[EN\](.*?)\[EN\]", lambda m: english_to_ipa2(m.group(1)) + " ", text)
     text = re.sub(r"\s+$", "", text)

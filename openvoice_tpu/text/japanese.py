@@ -28,7 +28,10 @@ Phonology implemented:
 
 from __future__ import annotations
 
+import logging
 import re
+
+_logger = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # Kana tables
@@ -149,8 +152,11 @@ _ROMAJI_TABLE = {
 _ROMAJI_KEYS = sorted(_ROMAJI_TABLE, key=len, reverse=True)
 
 
-def romaji_to_kana(text: str) -> str:
-    """Hepburn/kunrei romaji → hiragana ('konnichiwa' → こんにちわ)."""
+def romaji_to_kana(text: str, strict: bool = True) -> str:
+    """Hepburn/kunrei romaji → hiragana ('konnichiwa' → こんにちわ).
+
+    strict=False logs-and-skips unparseable runs instead of raising
+    (the served-degradation mode, matching ZH OOV behavior)."""
     out = []
     i = 0
     s = text.lower()
@@ -184,10 +190,13 @@ def romaji_to_kana(text: str) -> str:
                 i += len(key)
                 break
         else:
-            raise ValueError(
-                f"cannot parse romaji at {s[i:i+6]!r}; "
-                "JA input must be kana or Hepburn romaji"
-            )
+            if strict:
+                raise ValueError(
+                    f"cannot parse romaji at {s[i:i+6]!r}; "
+                    "JA input must be kana or Hepburn romaji"
+                )
+            _logger.warning("unparseable romaji at %r; skipped", s[i : i + 6])
+            i += 1
     return "".join(out)
 
 
@@ -202,12 +211,12 @@ def _katakana_to_hiragana(text: str) -> str:
     )
 
 
-def _normalize(text: str) -> str:
+def _normalize(text: str, strict: bool = True) -> str:
     text = text.strip()
     for src, dst in _GREETINGS:
         text = text.replace(src, dst)
-    # common kanji words → kana via longest-match table (r3; OOV kanji
-    # still raise the clear error below — see text/ja_readings.py)
+    # common kanji words → kana via longest-match table (r3); OOV kanji are
+    # handled downstream per `strict` — see text/ja_readings.py
     from openvoice_tpu.text.ja_readings import replace_kanji_words
 
     text = replace_kanji_words(text)
@@ -216,12 +225,22 @@ def _normalize(text: str) -> str:
     for src, dst in _PUNCT.items():
         text = text.replace(src, dst)
     # romaji runs → kana
-    text = re.sub(r"[A-Za-z][A-Za-z'\-]*", lambda m: romaji_to_kana(m.group()), text)
+    text = re.sub(
+        r"[A-Za-z][A-Za-z'\-]*",
+        lambda m: romaji_to_kana(m.group(), strict=strict),
+        text,
+    )
     return text
 
 
-def kana_to_ipa(text: str) -> str:
-    """Hiragana string (plus ascii punctuation) → IPA mora sequence."""
+def kana_to_ipa(text: str, strict: bool = True) -> str:
+    """Hiragana string (plus ascii punctuation) → IPA mora sequence.
+
+    strict=True raises on OOV kanji / unsupported characters (the library
+    default — a clear error beats garbage audio in scripted use);
+    strict=False logs-and-skips them, matching ZH's OOV degradation
+    (text/mandarin.py) — the serving tier uses this so one rare kanji
+    degrades a request instead of throwing (docs/QA.md)."""
     moras: list[tuple[str, str]] = []  # (onset, vowel); punctuation as ("", ".")
     i = 0
     pending_geminate = False
@@ -269,11 +288,19 @@ def kana_to_ipa(text: str) -> str:
             i += 1
             continue
         if "一" <= ch <= "鿿":
-            raise ValueError(
-                f"kanji {ch!r} requires a reading dictionary (not shipped); "
-                "write JA input in kana or romaji"
-            )
-        raise ValueError(f"unsupported character {ch!r} in JA text")
+            if strict:
+                raise ValueError(
+                    f"kanji {ch!r} requires a reading dictionary (not shipped); "
+                    "write JA input in kana or romaji"
+                )
+            _logger.warning("no reading for kanji %r; skipped", ch)
+            i += 1
+            continue
+        if strict:
+            raise ValueError(f"unsupported character {ch!r} in JA text")
+        _logger.warning("unsupported character %r in JA text; skipped", ch)
+        i += 1
+        continue
 
     # resolve ん by place of the following onset
     out = []
@@ -292,8 +319,11 @@ def kana_to_ipa(text: str) -> str:
     return "".join(out)
 
 
-def japanese_to_ipa2(text: str) -> str:
-    """Full JA pipeline: normalize → kana → IPA (cleaner entry point)."""
-    ipa = kana_to_ipa(_normalize(text))
+def japanese_to_ipa2(text: str, strict: bool = True) -> str:
+    """Full JA pipeline: normalize → kana → IPA (cleaner entry point).
+
+    strict=False degrades on OOV (warn-and-skip, like ZH) instead of
+    raising — the mode the serving ladder uses."""
+    ipa = kana_to_ipa(_normalize(text, strict=strict), strict=strict)
     ipa = re.sub(r"\s+", " ", ipa).strip()
     return ipa
