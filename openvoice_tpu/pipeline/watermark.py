@@ -40,6 +40,9 @@ _BAND = (300.0, 6000.0)  # carrier band, Hz (survives 16 kHz resampling)
 _SR = 22050.0  # nominal rate the band edges are designed for
 
 
+N_IDX_BITS = 8  # per-slot absolute-index tag (r4): slot m carries m mod 256
+
+
 def _pn_matrix() -> np.ndarray:
     """[32, K] orthonormal band-limited carriers (fixed seed, cached)."""
     rng = np.random.default_rng(0x0BEC0DE)
@@ -57,32 +60,67 @@ def _pn_matrix() -> np.ndarray:
 _PN = _pn_matrix()
 
 
+def _pn_idx_matrix() -> np.ndarray:
+    """[N_IDX_BITS, K] index carriers: band-limited, orthonormal, and
+    orthogonal to the payload carriers (projected out before QR), so index
+    QIM never perturbs payload correlations and vice versa."""
+    rng = np.random.default_rng(0x1DECAF)
+    pn = rng.standard_normal((N_IDX_BITS, K))
+    spec = np.fft.rfft(pn, axis=1)
+    freqs = np.fft.rfftfreq(K, 1.0 / _SR)
+    spec[:, (freqs < _BAND[0]) | (freqs > _BAND[1])] = 0.0
+    pn = np.fft.irfft(spec, K, axis=1)
+    pn -= (pn @ _PN.T) @ _PN  # project out the payload subspace
+    q, _ = np.linalg.qr(pn.T)
+    return np.ascontiguousarray(q.T, dtype=np.float32)
+
+
+_PN_IDX = _pn_idx_matrix()
+
+
+def _qim_embed(chunk: np.ndarray, carriers: np.ndarray, bits: np.ndarray) -> np.ndarray:
+    """Parity-QIM `bits` onto `carriers` in one window; returns the delta."""
+    c = carriers @ chunk
+    q = np.round(c / _DELTA)
+    wrong_parity = (q.astype(np.int64) & 1) != bits
+    # move to the closer adjacent multiple when parity is wrong
+    q = np.where(wrong_parity, q + np.where(c / _DELTA >= q, 1, -1), q)
+    c_target = (q * _DELTA).astype(np.float32)
+    return (c_target - c) @ carriers
+
+
 def add_watermark(audio: np.ndarray, message: str) -> np.ndarray:
     """Embed `message` (≤8 chars) into a mono float waveform; returns a copy.
 
-    Mirrors the reference loop structure (api.py:162-184): window n covers
-    samples [2nK, (2n+1)K); short windows are skipped with a notice.
+    Mirrors the reference loop structure (api.py:162-184): window (slot) m
+    covers samples [2mK, (2m+1)K); short windows are skipped with a notice.
+    r4: the message repeats CYCLICALLY over every full slot in the audio
+    (slot m carries message window m mod n_repeat), and each slot also
+    carries its absolute index m on the orthogonal index carriers — so a
+    head-trimmed copy still contains complete message cycles AND enough
+    information to recover the global framing (wavmark-style arbitrary-
+    position sync, reference api.py:105-109).  The first n_repeat slots are
+    embedded exactly as before, so offset-0 decoding is unchanged.
     """
     if not message:
         return audio
     audio = np.array(audio, dtype=np.float32, copy=True)
     bits = string_to_bits(message).reshape(-1)
     n_repeat = len(bits) // BITS_PER_WINDOW
-    for n in range(n_repeat):
-        start = (COEFF * n) * K
+    n_slots = max(0, (len(audio) - K) // (COEFF * K) + 1)
+    if n_slots < n_repeat:
+        print("Audio too short, fail to add watermark")
+    for m in range(n_slots):
+        start = (COEFF * m) * K
         chunk = audio[start : start + K]
-        if len(chunk) != K:
-            print("Audio too short, fail to add watermark")
-            break
+        n = m % n_repeat
         window_bits = bits[n * BITS_PER_WINDOW : (n + 1) * BITS_PER_WINDOW]
-        c = _PN @ chunk  # [32] correlations with orthonormal carriers
-        # nearest multiple of Δ with the required parity
-        q = np.round(c / _DELTA)
-        wrong_parity = (q.astype(np.int64) & 1) != window_bits
-        # move to the closer adjacent multiple when parity is wrong
-        q = np.where(wrong_parity, q + np.where(c / _DELTA >= q, 1, -1), q)
-        c_target = (q * _DELTA).astype(np.float32)
-        audio[start : start + K] = chunk + (c_target - c) @ _PN
+        idx_bits = np.array([(m >> b) & 1 for b in range(N_IDX_BITS)], np.int64)
+        audio[start : start + K] = (
+            chunk
+            + _qim_embed(chunk, _PN, window_bits)
+            + _qim_embed(chunk, _PN_IDX, idx_bits)
+        )
     return audio
 
 
@@ -165,18 +203,24 @@ def _resync_window(audio: np.ndarray, win_start: int, max_offset: int,
 
 
 def _resync(audio: np.ndarray, n_repeat: int, max_offset: int,
-            gain_db: float) -> tuple[int, float, float] | None:
-    """Best (offset, gain, residual) over the message's windows.
+            gain_db: float) -> tuple[int, int, float, float] | None:
+    """Best (boundary_pos, legacy_offset, gain, residual) over the
+    message's windows.
 
     Window 0 is tried first; when its lattice fit is poor (e.g. a head cut
     destroyed part of it) the later windows — intact under any leading trim
-    shorter than themselves — recover the global (offset, gain)."""
+    shorter than themselves — recover the (boundary, gain) lock.
+    boundary_pos is the ABSOLUTE audio position of the locked window start;
+    legacy_offset interprets it as belonging to the window searched around
+    (the pre-r4 reading, kept for audio without index carriers)."""
     best = None
     for w in range(max(1, n_repeat)):
-        cand = _resync_window(audio, COEFF * w * K, max_offset, gain_db)
+        win_start = COEFF * w * K
+        cand = _resync_window(audio, win_start, max_offset, gain_db)
         if cand is not None and (best is None or cand[2] < best[2]):
-            best = cand
-        if best is not None and best[2] < 0.02:
+            off, g, res = cand
+            best = (win_start + off, off, g, res)
+        if best is not None and best[3] < 0.02:
             break  # unambiguous lock; skip the remaining FFT searches
     return best
 
@@ -212,8 +256,7 @@ def detect_watermark(
     behaviors (api.py:105-109) the plain lattice decode lacks.
     """
     audio = np.asarray(audio, dtype=np.float32)
-    offset, gain = 0, 1.0
-    strict = _decode_windows(audio, n_repeat, offset, gain)
+    strict = _decode_windows(audio, n_repeat, 0, 1.0)
     if strict is not None and strict[1] < _RESIDUAL_OK:
         return strict[0]
     if not robust:
@@ -222,10 +265,22 @@ def detect_watermark(
     if sync is None:
         print("Audio too short, fail to detect watermark")
         return "Fail"
-    offset, gain, residual = sync
+    boundary, legacy_offset, gain, residual = sync
     if residual >= _RESIDUAL_OK:
         return "Fail"  # no lattice at any (offset, gain): not our watermark
-    decoded = _decode_windows(audio, n_repeat, offset, gain)
+    # which absolute slot did we lock onto?  r4 audio tags every slot with
+    # its index on the orthogonal index carriers; a clean index lattice
+    # disambiguates the rotation a head trim introduces.  Audio without
+    # index carriers (pre-r4) keeps the legacy interpretation.
+    offset = legacy_offset
+    chunk = _window_at(audio, boundary)
+    if chunk is not None:
+        idx_corr = (_PN_IDX @ chunk) / gain
+        if _lattice_residual(idx_corr, 1.0) < _RESIDUAL_OK:
+            idx_bits = np.round(idx_corr / _DELTA).astype(np.int64) & 1
+            slot = int(sum(int(b) << i for i, b in enumerate(idx_bits)))
+            offset = boundary - COEFF * slot * K
+    decoded = _decode_windows(audio, n_repeat, offset, gain, cyclic=True)
     if decoded is None:
         print("Audio too short, fail to detect watermark")
         return "Fail"
@@ -233,25 +288,47 @@ def detect_watermark(
 
 
 def _decode_windows(
-    audio: np.ndarray, n_repeat: int, offset: int, gain: float
+    audio: np.ndarray, n_repeat: int, offset: int, gain: float,
+    cyclic: bool = False,
 ) -> tuple[str, float] | None:
     """(message, mean lattice residual) over n_repeat windows, or None when
-    a window has no overlap with the audio (reference 'too short' path)."""
+    a window has no overlap with the audio (reference 'too short' path).
+
+    cyclic=True (the robust path over r4 cyclic embeddings): when message
+    window n's primary slot is trimmed away or badly damaged, fall back to
+    its later copies (slots n + j·n_repeat) and keep the best lattice fit.
+    """
     rows, residuals = [], []
+    n_slots_total = max(1, (len(audio) - min(0, offset)) // (COEFF * K) + 2)
     for n in range(n_repeat):
-        start = (COEFF * n) * K + offset
-        chunk = (
-            _window_at(audio, start)
-            if (offset != 0 or gain != 1.0)
-            else (audio[start : start + K]
-                  if len(audio) >= start + K else None)
-        )
-        if chunk is None or len(chunk) != K:
+        best = None  # (residual, bits)
+        copies = range(n, n_slots_total, n_repeat) if cyclic else [n]
+        for m in copies:
+            start = (COEFF * m) * K + offset
+            if start + K <= 0:
+                continue
+            if start >= len(audio):
+                break
+            chunk = (
+                _window_at(audio, start)
+                if (offset != 0 or gain != 1.0)
+                else (audio[start : start + K]
+                      if len(audio) >= start + K else None)
+            )
+            if chunk is None or len(chunk) != K:
+                continue
+            corr = (_PN @ chunk) / gain
+            res = _lattice_residual(corr, 1.0)
+            bits = np.round(corr / _DELTA).astype(np.int64) & 1
+            if best is None or res < best[0]:
+                best = (res, bits)
+            if best[0] < 0.02:
+                break  # clean lattice: no need to scan further copies
+        if best is None:
             if offset == 0 and gain == 1.0:
                 print("Audio too short, fail to detect watermark")
             return None
-        corr = (_PN @ chunk) / gain
-        residuals.append(_lattice_residual(corr, 1.0))
-        rows.append((np.round(corr / _DELTA).astype(np.int64) & 1))
+        residuals.append(best[0])
+        rows.append(best[1])
     bits = np.stack(rows).reshape(-1, 8)
     return bits_to_string(bits), float(np.mean(residuals))
