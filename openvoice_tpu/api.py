@@ -560,6 +560,144 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
         return None
 
 
+def tts_convert_batched(
+    tts_model: BaseSpeakerTTS,
+    converter: "ToneColorConverter",
+    text: str,
+    speaker,
+    src_se,
+    tgt_se,
+    language: str = "English",
+    speed: float = 1.0,
+    tau: float = 0.3,
+    seed: int = 0,
+    message: str = "default",
+    fast: bool = True,
+    output_path: str | None = None,
+):
+    """Fused serving path for the tts→convert chain (reference
+    openvoice_app.py:131-141 / demo_part1): bucketed-batch TTS encode, then
+    decode + STFT + tone conversion as ONE jitted dispatch per frame bucket
+    (models/synthesizer.py::tts_decode_convert) — the base audio never
+    leaves the device, removing two dispatches and one readback per request
+    vs `tts_batched` + `convert`.
+
+    Semantics: each sentence is converted INDIVIDUALLY (per-sentence conv
+    noise derived from `seed`), then joined with the reference's 0.05 s ÷
+    speed silence gaps, and the watermark is applied once to the joined
+    output.  This differs from `predict`'s staged flow only in that the
+    silence gaps pass through unconverted (the staged flow converts the
+    gaps too — which a zero-input converter maps to near-silence).
+    tests/test_app.py asserts equality against the per-sentence staged
+    truth.
+    """
+    cfg = tts_model.cfg
+    ccfg = converter.cfg
+    params = tts_model._require_params()
+    cparams = converter._require_params()
+    token_seqs, speaker_id = tts_model._sentence_tokens(text, speaker, language)
+    n = len(token_seqs)
+    if n == 0:
+        out = np.zeros(0, np.float32)
+        if output_path is None:
+            return out
+        write_wav(output_path, out, cfg.sampling_rate)
+        return None
+    noise_rngs = _sentence_noise_rngs(seed, n)
+    conv_rngs = _sentence_conv_rngs(seed, n)
+
+    # ---- encode, grouped by token bucket (identical to tts_batched) -----
+    enc_rows: list[dict | None] = [None] * n
+    groups: dict[int, list[int]] = {}
+    for i, seq in enumerate(token_seqs):
+        groups.setdefault(round_up_to_bucket(len(seq)), []).append(i)
+    for tb, idxs in groups.items():
+        m = len(idxs)
+        toks = np.zeros((m, tb), np.int32)
+        lens = np.zeros(m, np.int32)
+        noise_w = np.zeros((m, tb, 2), np.float32)
+        for r, i in enumerate(idxs):
+            toks[r, : len(token_seqs[i])] = token_seqs[i]
+            lens[r] = len(token_seqs[i])
+            noise_w[r] = noise_rngs[i][0].standard_normal((tb, 2)).astype(np.float32)
+        enc = S.tts_encode_jit(
+            params, cfg, jnp.asarray(toks), jnp.asarray(lens),
+            jnp.asarray([speaker_id] * m), None,
+            noise_scale_w=0.6, length_scale=1.0 / speed, sdp_ratio=0.2,
+            noise_w=jnp.asarray(noise_w),
+        )
+        m_p, logs_p = np.asarray(enc.m_p), np.asarray(enc.logs_p)
+        x_mask, w_ceil = np.asarray(enc.x_mask), np.asarray(enc.w_ceil)
+        for r, i in enumerate(idxs):
+            enc_rows[i] = {"m_p": m_p[r], "logs_p": logs_p[r],
+                           "x_mask": x_mask[r], "w_ceil": w_ceil[r]}
+
+    # ---- fused decode+convert, grouped by frame bucket ------------------
+    g_row = np.asarray(params["emb_g"])[speaker_id][None, :]
+    g_src = converter._as_g(src_se)
+    g_tgt = converter._as_g(tgt_se)
+    pieces: list[np.ndarray | None] = [None] * n
+    fgroups: dict[int, list[int]] = {}
+    for i in range(n):
+        total = int(enc_rows[i]["w_ceil"].sum())
+        fgroups.setdefault(round_up_to_bucket(max(total, 1)), []).append(i)
+    tts_cache = tts_model._require_dec_cache() if fast else None
+    conv_cache = converter._require_dec_cache() if fast else None
+    for fb, idxs in fgroups.items():
+        m = len(idxs)
+        tb_max = max(enc_rows[i]["m_p"].shape[0] for i in idxs)
+
+        def padded(a):
+            out = np.zeros((tb_max,) + a.shape[1:], a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        enc = S.TTSEncodeOut(
+            m_p=jnp.asarray(np.stack([padded(enc_rows[i]["m_p"]) for i in idxs])),
+            logs_p=jnp.asarray(np.stack([padded(enc_rows[i]["logs_p"]) for i in idxs])),
+            x_mask=jnp.asarray(np.stack([padded(enc_rows[i]["x_mask"]) for i in idxs])),
+            w_ceil=jnp.asarray(np.stack([padded(enc_rows[i]["w_ceil"]) for i in idxs])),
+            g=jnp.asarray(np.repeat(g_row[None], m, axis=0)),
+        )
+        noise_dec = np.stack([
+            noise_rngs[i][1].standard_normal((fb, cfg.inter_channels)).astype(np.float32)
+            for i in idxs
+        ])
+        noise_conv = np.stack([
+            conv_rngs[i].standard_normal((fb, ccfg.inter_channels)).astype(np.float32)
+            for i in idxs
+        ])
+        audio, y_mask = S.tts_decode_convert_jit(
+            params, cfg, enc, fb, jnp.asarray(noise_dec),
+            cparams, ccfg,
+            jnp.repeat(g_src, m, axis=0), jnp.repeat(g_tgt, m, axis=0),
+            float(tau), jnp.asarray(noise_conv),
+            noise_scale=0.667, fast=fast,
+            tts_dec_cache=tts_cache, conv_dec_cache=conv_cache,
+        )
+        audio_np = np.asarray(audio[..., 0])
+        y_lengths = np.asarray(jnp.sum(y_mask[..., 0], axis=-1)).astype(np.int64)
+        for r, i in enumerate(idxs):
+            pieces[i] = audio_np[r, : y_lengths[r] * cfg.upsample_factor]
+
+    out = _concat_with_gaps(pieces, cfg.sampling_rate, speed)
+    if converter.enable_watermark and message:
+        out = converter.add_watermark(out, message)
+    if output_path is None:
+        return out
+    write_wav(output_path, out, cfg.sampling_rate)
+    return None
+
+
+def _sentence_conv_rngs(seed: int, n: int) -> list[np.random.Generator]:
+    """Per-sentence conversion-noise generators for the fused tts→convert
+    path (distinct root from the TTS draws so neither stream aliases)."""
+    return [
+        np.random.default_rng(ss)
+        for ss in np.random.SeedSequence([seed, 0xC04]).spawn(n)
+    ]
+
+
 def _sentence_noise_rngs(seed: int, n: int) -> list[tuple[np.random.Generator, np.random.Generator]]:
     """Per-sentence (sdp-noise, decode-noise) numpy generators.  Shared by
     tts() and tts_batched() so their outputs match for the same seed."""

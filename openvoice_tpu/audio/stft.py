@@ -95,6 +95,56 @@ def host_spectrogram(padded_audio: np.ndarray, n_fft: int, hop: int,
     return np.sqrt(np.abs(spec) ** 2 + 1e-6).astype(np.float32)
 
 
+def masked_linear_spectrogram(
+    audio: jnp.ndarray,
+    sample_lengths: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    win_length: int,
+) -> jnp.ndarray:
+    """Per-row reflect-padded magnitude spectrogram of DEVICE-resident audio
+    with per-row true lengths — the in-graph equivalent of the host
+    `_spec_from_audio` + `linear_spectrogram` pair, for fused pipelines
+    (TTS-decode → convert in one dispatch) where each batch row's audio ends
+    at a different sample.
+
+    audio: [B, T] zero-padded beyond each row's `sample_lengths[b]`; T must
+    be a multiple of `hop`.  Returns [B, T//hop, n_freq] — frames beyond a
+    row's true frame count are garbage and must be masked downstream
+    (spec_lengths), exactly like every other padded-bucket consumer.
+
+    Reflect indexing matches torch/_reflect_pad_1d: position p maps to
+    sample (L-1) - |(L-1) - |p||, valid for pads < L; shorter degenerate
+    rows clamp into range (the reference's torch reflect pad would error
+    on them outright).
+    """
+    b, t = audio.shape
+    pad = (n_fft - hop) // 2
+    n_frames = t // hop
+    pos = (
+        jnp.arange(n_frames, dtype=jnp.int32)[:, None] * hop
+        + jnp.arange(n_fft, dtype=jnp.int32)[None, :]
+        - pad
+    )  # [n_frames, n_fft]
+
+    def row_frames(a: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
+        lm1 = jnp.maximum(length - 1, 1).astype(jnp.int32)
+        idx = lm1 - jnp.abs(lm1 - jnp.abs(pos))
+        idx = jnp.clip(idx, 0, t - 1)
+        return a[idx]
+
+    frames = jax.vmap(row_frames)(audio.astype(jnp.float32), sample_lengths)
+    basis = jnp.asarray(stft_basis(n_fft, win_length))
+    proj = jnp.dot(
+        frames, basis,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    n_freq = n_fft // 2 + 1
+    re, im = proj[..., :n_freq], proj[..., n_freq:]
+    return jnp.sqrt(re * re + im * im + 1e-6)  # [B, n_frames, n_freq]
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop", "win_length", "pad_signal"))
 def linear_spectrogram(
     y: jnp.ndarray,

@@ -647,11 +647,72 @@ def tts_decode(
     return audio.astype(jnp.float32), y_mask.astype(jnp.float32)
 
 
+def tts_decode_convert(
+    tts_params: dict,
+    cfg: SynthesizerConfig,
+    enc: TTSEncodeOut,
+    max_frames: int,
+    noise_dec: jnp.ndarray,
+    conv_params: dict,
+    conv_cfg: SynthesizerConfig,
+    g_src: jnp.ndarray,
+    g_tgt: jnp.ndarray,
+    tau: float | jnp.ndarray,
+    noise_conv: jnp.ndarray,
+    noise_scale: float = 0.667,
+    fast: bool = False,
+    tts_dec_cache: dict | None = None,
+    conv_dec_cache: dict | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """TTS decode → STFT → tone conversion as ONE graph (the served
+    tts-then-convert chain, reference openvoice_app.py:131-141, without the
+    base audio ever leaving the device).
+
+    Two dispatches and one device→host readback are removed per request vs
+    the staged path — decisive under remote-dispatch tunnels where each
+    round trip costs ~100 ms (docs/BENCH.md; the staged e2e measured 6.7
+    audio-s/s wall-clock against ~1800 for the device graph alone).
+
+    The base audio's per-row true length (y_frames · upsample) drives an
+    in-graph per-row reflect STFT (audio/stft.py::masked_linear_spectrogram)
+    whose framing matches the host `convert()` path exactly; requires
+    `cfg.upsample_factor == conv_cfg.hop_length` so base frames map 1:1 to
+    conversion frames (true for the shipped config pair).
+
+    Returns (converted audio [B, max_frames·up, 1], y_mask [B, max_frames, 1]).
+    """
+    assert cfg.upsample_factor == conv_cfg.hop_length, (
+        "fused tts→convert needs TTS upsample == converter hop "
+        f"({cfg.upsample_factor} vs {conv_cfg.hop_length})"
+    )
+    from openvoice_tpu.audio.stft import masked_linear_spectrogram
+
+    audio, y_mask = tts_decode(
+        tts_params, cfg, enc, max_frames, noise_dec, noise_scale=noise_scale,
+        fast=fast, dec_cache=tts_dec_cache,
+    )
+    y_frames = jnp.sum(y_mask[..., 0], axis=-1).astype(jnp.int32)
+    samples = y_frames * cfg.upsample_factor
+    spec = masked_linear_spectrogram(
+        audio[..., 0], samples,
+        conv_cfg.filter_length, conv_cfg.hop_length, conv_cfg.win_length,
+    )  # [B, max_frames, n_freq]
+    conv_audio, _ = voice_conversion(
+        conv_params, conv_cfg, spec, y_frames, g_src, g_tgt, tau, noise_conv,
+        fast=fast, dec_cache=conv_dec_cache,
+    )
+    return conv_audio, y_mask
+
+
 # jitted stage wrappers: one compiled program per (cfg, token-bucket) /
 # (cfg, frame-bucket); sampling knobs stay traced so changing them is free
 tts_encode_jit = jax.jit(tts_encode, static_argnames=("cfg",))
 tts_decode_jit = jax.jit(tts_decode, static_argnames=("cfg", "max_frames", "fast"))
 voice_conversion_jit = jax.jit(voice_conversion, static_argnames=("cfg", "fast"))
+tts_decode_convert_jit = jax.jit(
+    tts_decode_convert,
+    static_argnames=("cfg", "max_frames", "conv_cfg", "fast"),
+)
 
 
 def infer(

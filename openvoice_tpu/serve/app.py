@@ -100,12 +100,19 @@ class VoiceApp:
     """
 
     def __init__(self, converter, en_tts=None, zh_tts=None, source_ses=None,
-                 watermark_message: str = "@MyShell"):
+                 watermark_message: str = "@MyShell", fused: bool = False):
+        """fused=True serves the tts→convert chain as ONE device dispatch
+        per frame bucket (api.tts_convert_batched): ~4.4× lower e2e wall
+        time under remote-dispatch tunnels (docs/BENCH.md r4).  Semantics
+        differ from the staged reference flow only in that inter-sentence
+        silence gaps pass through unconverted; requires a source SE (the
+        fallback that derives source SE from the TTS output stays staged)."""
         self.converter = converter
         self.en_tts = en_tts
         self.zh_tts = zh_tts
         self.source_ses = source_ses or {}
         self.watermark_message = watermark_message
+        self.fused = fused
 
     def predict(self, prompt: str, style: str, audio_file_pth: str, agree: bool) -> PredictResult:
         hint = ""
@@ -157,13 +164,22 @@ class VoiceApp:
             return PredictResult(f"[ERROR] Get target tone color error {e} \n", None, None)
 
         try:
-            audio = tts_model.tts_batched(prompt, None, style, language=language)
             sr = tts_model.cfg.sampling_rate
-            if source_se is None:
-                source_se = self.converter._se_from_audio_batch([audio])[None, :, None]
-            out = self.converter.convert(
-                audio, source_se, target_se, tau=0.3, message=self.watermark_message
-            )
+            if self.fused and source_se is not None:
+                from openvoice_tpu.api import tts_convert_batched
+
+                out = tts_convert_batched(
+                    tts_model, self.converter, prompt, style, source_se,
+                    target_se, language=language, tau=0.3,
+                    message=self.watermark_message,
+                )
+            else:
+                audio = tts_model.tts_batched(prompt, None, style, language=language)
+                if source_se is None:
+                    source_se = self.converter._se_from_audio_batch([audio])[None, :, None]
+                out = self.converter.convert(
+                    audio, source_se, target_se, tau=0.3, message=self.watermark_message
+                )
         except Exception as e:  # noqa: BLE001 — predict never throws: the
             # ladder is the only error channel (reference rejects cleanly,
             # openvoice_app.py:41-114; fuzzed in tests/test_app.py)

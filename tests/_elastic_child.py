@@ -13,15 +13,21 @@ from __future__ import annotations
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
-).strip()
+# IMPORTANT: only mutate the process environment when running AS the child.
+# This module is also imported by tests/test_elastic.py (for TINY), and an
+# unconditional append here would override conftest's 8-virtual-device
+# XLA_FLAGS for the whole pytest process (last flag wins → 2 devices).
+if __name__ == "__main__":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax  # noqa: E402
+if __name__ == "__main__":
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 from openvoice_tpu.config import SynthesizerConfig  # noqa: E402
 

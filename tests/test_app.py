@@ -209,6 +209,109 @@ def test_japanese_oov_degradation_unified():
     assert len(ids) > 0
 
 
+# fused tts→convert needs TTS upsample factor (16 here) == converter hop
+FUSED_CONV = SynthesizerConfig(
+    n_speakers=0, zero_g=True,
+    spec_channels=33, filter_length=64, hop_length=16, win_length=64,
+    inter_channels=64, hidden_channels=64,
+    upsample_initial_channel=128, upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+    resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    gin_channels=64, enc_q_layers=4, flow_n_flows=2, flow_wn_layers=2,
+)
+
+
+def test_tts_convert_fused_matches_staged():
+    """The fused tts→convert dispatch (api.tts_convert_batched) must equal
+    the staged per-sentence path: tts_batched base audio → host STFT →
+    voice_conversion with the same per-sentence conv noise."""
+    import jax.numpy as jnp
+
+    from openvoice_tpu.api import (
+        BaseSpeakerTTS, ToneColorConverter, _sentence_conv_rngs,
+        _spec_btf, _spec_from_audio, tts_convert_batched,
+    )
+    from openvoice_tpu.models import synthesizer as S
+    from openvoice_tpu.runtime.bucketing import round_up_to_bucket
+
+    tts = BaseSpeakerTTS(cfg=TINY_TTS)
+    tts.init_random(0)
+    conv = ToneColorConverter(cfg=FUSED_CONV, enable_watermark=False)
+    conv.init_random(1)
+    rng = np.random.default_rng(2)
+    src = rng.standard_normal((1, FUSED_CONV.gin_channels, 1)).astype(np.float32)
+    tgt = rng.standard_normal((1, FUSED_CONV.gin_channels, 1)).astype(np.float32)
+
+    text = "hello there my friend"  # single sentence: exact staged truth
+    seed, tau = 5, 0.3
+    fused = tts_convert_batched(
+        tts, conv, text, 0, src, tgt, tau=tau, seed=seed, fast=False,
+        message="",
+    )
+
+    base = tts.tts_batched(text, None, 0, seed=seed)
+    gap = int(TINY_TTS.sampling_rate * 0.05)
+    piece = base[:-gap]  # strip the trailing inter-sentence gap
+    assert len(piece) % FUSED_CONV.hop_length == 0
+    n_frames = len(piece) // FUSED_CONV.hop_length
+    fb = round_up_to_bucket(n_frames)
+    padded, nf = _spec_from_audio(piece, FUSED_CONV)
+    assert nf == n_frames
+    spec = np.zeros((1, fb, FUSED_CONV.spec_channels), np.float32)
+    spec[0, :n_frames] = np.asarray(_spec_btf(
+        jnp.asarray(padded)[None], FUSED_CONV.filter_length,
+        FUSED_CONV.hop_length, FUSED_CONV.win_length))[0, :n_frames]
+    noise = _sentence_conv_rngs(seed, 1)[0].standard_normal(
+        (fb, FUSED_CONV.inter_channels)).astype(np.float32)[None]
+    audio, _ = S.voice_conversion_jit(
+        conv.params, FUSED_CONV, jnp.asarray(spec), jnp.asarray([n_frames]),
+        conv._as_g(src), conv._as_g(tgt), tau, jnp.asarray(noise),
+    )
+    staged = np.asarray(audio)[0, : n_frames * FUSED_CONV.upsample_factor, 0]
+    staged = np.concatenate([staged, np.zeros(gap, np.float32)])
+
+    assert fused.shape == staged.shape, (fused.shape, staged.shape)
+    np.testing.assert_allclose(fused, staged, atol=5e-5)
+
+
+def test_tts_convert_fused_multisentence_smoke():
+    """Multi-sentence fused path: right shape, finite, watermark intact."""
+    from openvoice_tpu.api import BaseSpeakerTTS, ToneColorConverter, tts_convert_batched
+
+    tts = BaseSpeakerTTS(cfg=TINY_TTS)
+    tts.init_random(0)
+    conv = ToneColorConverter(cfg=FUSED_CONV, enable_watermark=False)
+    conv.init_random(1)
+    rng = np.random.default_rng(3)
+    src = rng.standard_normal((1, FUSED_CONV.gin_channels, 1)).astype(np.float32)
+    tgt = rng.standard_normal((1, FUSED_CONV.gin_channels, 1)).astype(np.float32)
+    text = ("The weather is nice today and we should go for a walk. "
+            "Later we can have dinner together with our friends. "
+            "Tomorrow there is work to be done in the garden.")
+    out = tts_convert_batched(tts, conv, text, 0, src, tgt, seed=7, fast=False)
+    assert out.size > 0 and np.isfinite(out).all()
+    # deterministic per seed
+    out2 = tts_convert_batched(tts, conv, text, 0, src, tgt, seed=7, fast=False)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_app_fused_mode_end_to_end(ref_wav):
+    """VoiceApp(fused=True) serves the one-dispatch tts→convert chain when
+    a source SE exists; same success contract as the staged flow."""
+    from openvoice_tpu.api import BaseSpeakerTTS, ToneColorConverter
+
+    tts = BaseSpeakerTTS(cfg=TINY_TTS)
+    tts.init_random(0)
+    conv = ToneColorConverter(cfg=FUSED_CONV, enable_watermark=False)
+    conv.init_random(1)
+    rng = np.random.default_rng(4)
+    src = rng.standard_normal((1, FUSED_CONV.gin_channels, 1)).astype(np.float32)
+    app = VoiceApp(conv, en_tts=tts, source_ses={"en_default": src}, fused=True)
+    r = app.predict("hello there friend", "default", ref_wav, agree=True)
+    assert r.info.endswith("successfully \n"), r.info
+    assert r.audio is not None and r.audio.size > 0
+    assert np.isfinite(r.audio).all()
+
+
 def test_convert_streaming_api(tmp_path):
     """convert_streaming == convert (same seed/tau) for a short clip, runs
     through the same watermark path."""

@@ -109,6 +109,27 @@ def test_host_spectrogram_matches_device(win):
     np.testing.assert_allclose(mag_h, mag_d, atol=2e-5)
 
 
+def test_masked_linear_spectrogram_matches_per_row_host_path():
+    """The in-graph per-row reflect STFT (fused tts→convert) must equal the
+    host reflect-pad + linear_spectrogram path on each row's true length."""
+    from openvoice_tpu.audio.stft import masked_linear_spectrogram
+
+    n_fft, hop, win = 256, 64, 256
+    rng = np.random.default_rng(9)
+    lengths = np.asarray([40 * hop, 25 * hop, 64 * hop], np.int32)
+    t = int(lengths.max())
+    audio = np.zeros((3, t), np.float32)
+    for b, L in enumerate(lengths):
+        audio[b, :L] = rng.standard_normal(L) * 0.3
+    spec = np.asarray(masked_linear_spectrogram(
+        audio, lengths, n_fft, hop, win))  # [3, t//hop, n_freq]
+    for b, L in enumerate(lengths):
+        n_frames = L // hop
+        ref = np.asarray(linear_spectrogram(
+            audio[b, :L][None], n_fft, hop, win))[0].T  # [frames, n_freq]
+        np.testing.assert_allclose(spec[b, :n_frames], ref, atol=2e-5)
+
+
 def test_mel_filterbank_properties():
     fb = mel_filterbank(22050, 1024, 80, 0.0, None)
     assert fb.shape == (80, 513)
