@@ -488,31 +488,7 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
         # per-sentence numpy generators in tts()'s order → identical draws
         noise_rngs = _sentence_noise_rngs(seed, n)
 
-        # ---- encode, grouped by token bucket --------------------------------
-        enc_rows: list[dict | None] = [None] * n
-        groups: dict[int, list[int]] = {}
-        for i, seq in enumerate(token_seqs):
-            groups.setdefault(round_up_to_bucket(len(seq)), []).append(i)
-        for tb, idxs in groups.items():
-            m = len(idxs)
-            toks = np.zeros((m, tb), np.int32)
-            lens = np.zeros(m, np.int32)
-            noise_w = np.zeros((m, tb, 2), np.float32)
-            for r, i in enumerate(idxs):
-                toks[r, : len(token_seqs[i])] = token_seqs[i]
-                lens[r] = len(token_seqs[i])
-                noise_w[r] = noise_rngs[i][0].standard_normal((tb, 2)).astype(np.float32)
-            enc = S.tts_encode_jit(
-                params, cfg, jnp.asarray(toks), jnp.asarray(lens),
-                jnp.asarray([speaker_id] * m), None,
-                noise_scale_w=0.6, length_scale=1.0 / speed, sdp_ratio=0.2,
-                noise_w=jnp.asarray(noise_w),
-            )
-            m_p, logs_p = np.asarray(enc.m_p), np.asarray(enc.logs_p)
-            x_mask, w_ceil = np.asarray(enc.x_mask), np.asarray(enc.w_ceil)
-            for r, i in enumerate(idxs):
-                enc_rows[i] = {"m_p": m_p[r], "logs_p": logs_p[r],
-                               "x_mask": x_mask[r], "w_ceil": w_ceil[r]}
+        enc_rows = _encode_rows(params, cfg, token_seqs, speaker_id, speed, noise_rngs)
 
         # ---- decode, grouped by frame bucket ---------------------------------
         g_row = np.asarray(params["emb_g"])[speaker_id][None, :]  # [1, gin]
@@ -523,24 +499,9 @@ class BaseSpeakerTTS(OpenVoiceBaseClass):
             fgroups.setdefault(round_up_to_bucket(max(total, 1)), []).append(i)
         dec_cache = self._require_dec_cache() if fast else None
         for fb, idxs in fgroups.items():
-            m = len(idxs)
-            tb_max = max(enc_rows[i]["m_p"].shape[0] for i in idxs)
-            inter = cfg.inter_channels
-
-            def padded(a):  # [t_x, ...] → [tb_max, ...] (zero-pad the token axis)
-                out = np.zeros((tb_max,) + a.shape[1:], a.dtype)
-                out[: a.shape[0]] = a
-                return out
-
-            enc = S.TTSEncodeOut(
-                m_p=jnp.asarray(np.stack([padded(enc_rows[i]["m_p"]) for i in idxs])),
-                logs_p=jnp.asarray(np.stack([padded(enc_rows[i]["logs_p"]) for i in idxs])),
-                x_mask=jnp.asarray(np.stack([padded(enc_rows[i]["x_mask"]) for i in idxs])),
-                w_ceil=jnp.asarray(np.stack([padded(enc_rows[i]["w_ceil"]) for i in idxs])),
-                g=jnp.asarray(np.repeat(g_row[None], m, axis=0)),
-            )
+            enc = _stack_enc_rows(enc_rows, idxs, g_row)
             noise = np.stack([
-                noise_rngs[i][1].standard_normal((fb, inter)).astype(np.float32)
+                noise_rngs[i][1].standard_normal((fb, cfg.inter_channels)).astype(np.float32)
                 for i in idxs
             ])
             audio, y_mask = S.tts_decode_jit(
@@ -606,31 +567,7 @@ def tts_convert_batched(
     noise_rngs = _sentence_noise_rngs(seed, n)
     conv_rngs = _sentence_conv_rngs(seed, n)
 
-    # ---- encode, grouped by token bucket (identical to tts_batched) -----
-    enc_rows: list[dict | None] = [None] * n
-    groups: dict[int, list[int]] = {}
-    for i, seq in enumerate(token_seqs):
-        groups.setdefault(round_up_to_bucket(len(seq)), []).append(i)
-    for tb, idxs in groups.items():
-        m = len(idxs)
-        toks = np.zeros((m, tb), np.int32)
-        lens = np.zeros(m, np.int32)
-        noise_w = np.zeros((m, tb, 2), np.float32)
-        for r, i in enumerate(idxs):
-            toks[r, : len(token_seqs[i])] = token_seqs[i]
-            lens[r] = len(token_seqs[i])
-            noise_w[r] = noise_rngs[i][0].standard_normal((tb, 2)).astype(np.float32)
-        enc = S.tts_encode_jit(
-            params, cfg, jnp.asarray(toks), jnp.asarray(lens),
-            jnp.asarray([speaker_id] * m), None,
-            noise_scale_w=0.6, length_scale=1.0 / speed, sdp_ratio=0.2,
-            noise_w=jnp.asarray(noise_w),
-        )
-        m_p, logs_p = np.asarray(enc.m_p), np.asarray(enc.logs_p)
-        x_mask, w_ceil = np.asarray(enc.x_mask), np.asarray(enc.w_ceil)
-        for r, i in enumerate(idxs):
-            enc_rows[i] = {"m_p": m_p[r], "logs_p": logs_p[r],
-                           "x_mask": x_mask[r], "w_ceil": w_ceil[r]}
+    enc_rows = _encode_rows(params, cfg, token_seqs, speaker_id, speed, noise_rngs)
 
     # ---- fused decode+convert, grouped by frame bucket ------------------
     g_row = np.asarray(params["emb_g"])[speaker_id][None, :]
@@ -645,20 +582,7 @@ def tts_convert_batched(
     conv_cache = converter._require_dec_cache() if fast else None
     for fb, idxs in fgroups.items():
         m = len(idxs)
-        tb_max = max(enc_rows[i]["m_p"].shape[0] for i in idxs)
-
-        def padded(a):
-            out = np.zeros((tb_max,) + a.shape[1:], a.dtype)
-            out[: a.shape[0]] = a
-            return out
-
-        enc = S.TTSEncodeOut(
-            m_p=jnp.asarray(np.stack([padded(enc_rows[i]["m_p"]) for i in idxs])),
-            logs_p=jnp.asarray(np.stack([padded(enc_rows[i]["logs_p"]) for i in idxs])),
-            x_mask=jnp.asarray(np.stack([padded(enc_rows[i]["x_mask"]) for i in idxs])),
-            w_ceil=jnp.asarray(np.stack([padded(enc_rows[i]["w_ceil"]) for i in idxs])),
-            g=jnp.asarray(np.repeat(g_row[None], m, axis=0)),
-        )
+        enc = _stack_enc_rows(enc_rows, idxs, g_row)
         noise_dec = np.stack([
             noise_rngs[i][1].standard_normal((fb, cfg.inter_channels)).astype(np.float32)
             for i in idxs
@@ -687,6 +611,58 @@ def tts_convert_batched(
         return out
     write_wav(output_path, out, cfg.sampling_rate)
     return None
+
+
+def _encode_rows(params, cfg, token_seqs, speaker_id, speed, noise_rngs) -> list[dict]:
+    """Bucketed-batch TTS encode shared by tts_batched and
+    tts_convert_batched: sentences grouped by token bucket, one
+    tts_encode_jit dispatch per bucket, per-sentence rows returned in
+    input order (keys m_p/logs_p/x_mask/w_ceil)."""
+    n = len(token_seqs)
+    enc_rows: list[dict | None] = [None] * n
+    groups: dict[int, list[int]] = {}
+    for i, seq in enumerate(token_seqs):
+        groups.setdefault(round_up_to_bucket(len(seq)), []).append(i)
+    for tb, idxs in groups.items():
+        m = len(idxs)
+        toks = np.zeros((m, tb), np.int32)
+        lens = np.zeros(m, np.int32)
+        noise_w = np.zeros((m, tb, 2), np.float32)
+        for r, i in enumerate(idxs):
+            toks[r, : len(token_seqs[i])] = token_seqs[i]
+            lens[r] = len(token_seqs[i])
+            noise_w[r] = noise_rngs[i][0].standard_normal((tb, 2)).astype(np.float32)
+        enc = S.tts_encode_jit(
+            params, cfg, jnp.asarray(toks), jnp.asarray(lens),
+            jnp.asarray([speaker_id] * m), None,
+            noise_scale_w=0.6, length_scale=1.0 / speed, sdp_ratio=0.2,
+            noise_w=jnp.asarray(noise_w),
+        )
+        m_p, logs_p = np.asarray(enc.m_p), np.asarray(enc.logs_p)
+        x_mask, w_ceil = np.asarray(enc.x_mask), np.asarray(enc.w_ceil)
+        for r, i in enumerate(idxs):
+            enc_rows[i] = {"m_p": m_p[r], "logs_p": logs_p[r],
+                           "x_mask": x_mask[r], "w_ceil": w_ceil[r]}
+    return enc_rows
+
+
+def _stack_enc_rows(enc_rows: list[dict], idxs: list[int], g_row: np.ndarray) -> "S.TTSEncodeOut":
+    """Pad one frame-bucket group's encode rows to a common token length and
+    stack them into a batched TTSEncodeOut."""
+    tb_max = max(enc_rows[i]["m_p"].shape[0] for i in idxs)
+
+    def padded(a):
+        out = np.zeros((tb_max,) + a.shape[1:], a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    return S.TTSEncodeOut(
+        m_p=jnp.asarray(np.stack([padded(enc_rows[i]["m_p"]) for i in idxs])),
+        logs_p=jnp.asarray(np.stack([padded(enc_rows[i]["logs_p"]) for i in idxs])),
+        x_mask=jnp.asarray(np.stack([padded(enc_rows[i]["x_mask"]) for i in idxs])),
+        w_ceil=jnp.asarray(np.stack([padded(enc_rows[i]["w_ceil"]) for i in idxs])),
+        g=jnp.asarray(np.repeat(g_row[None], len(idxs), axis=0)),
+    )
 
 
 def _sentence_conv_rngs(seed: int, n: int) -> list[np.random.Generator]:

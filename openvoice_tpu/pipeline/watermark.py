@@ -184,12 +184,20 @@ def _resync_window(audio: np.ndarray, win_start: int, max_offset: int,
     best = None
     for g in gains:
         v = c_all / (g * _DELTA)
-        q = np.round(v)
+        q = np.round(v).astype(np.int64)
         res = np.mean(np.abs(v - q), axis=0)  # [n_lags]
-        # an all-zero lattice fit is degenerate (a mostly-out-of-range window
-        # correlates to ~0 with every carrier and "fits" at any large gain);
-        # demand a real constellation before trusting the residual
-        res = np.where(np.count_nonzero(q, axis=0) >= 8, res, np.inf)
+        # two degenerate fits must be rejected before trusting the residual:
+        # (a) all-zero constellation — a mostly-out-of-range window
+        # correlates to ~0 with every carrier and "fits" at any large gain;
+        # (b) all-EVEN constellation — fitting at half the true gain maps
+        # every correlation onto an even multiple (residual ~0, all bits
+        # decode 0).  Legitimate payload windows always carry odd-parity
+        # entries: every 8-bit char row has ≥1 one-bit (col-2 markers on
+        # pad rows, nonzero char codes otherwise), ≥4 per 32-bit window.
+        ok = (np.count_nonzero(q, axis=0) >= 8) & (
+            np.count_nonzero(q & 1, axis=0) >= 2
+        )
+        res = np.where(ok, res, np.inf)
         i = int(np.argmin(res))
         if best is None or res[i] < best[2]:
             best = (lo + i, g, float(res[i]))
@@ -319,7 +327,18 @@ def _decode_windows(
                 continue
             corr = (_PN @ chunk) / gain
             res = _lattice_residual(corr, 1.0)
-            bits = np.round(corr / _DELTA).astype(np.int64) & 1
+            q = np.round(corr / _DELTA).astype(np.int64)
+            bits = q & 1
+            # a sliver of a trimmed slot correlates to ~0 with every carrier
+            # and scores a spuriously clean residual on the all-zero lattice
+            # point; demand a real, parity-bearing constellation (legit
+            # payload windows always have ≥4 odd entries — see
+            # _resync_window) before trusting or early-breaking on a copy
+            degenerate = (
+                np.count_nonzero(q) < 8 or np.count_nonzero(q & 1) < 2
+            )
+            if degenerate:
+                res = max(res, 0.25)
             if best is None or res < best[0]:
                 best = (res, bits)
             if best[0] < 0.02:

@@ -267,8 +267,14 @@ class Supervisor:
             self.history.append({"world": world, "rcs": rcs, "outs": outs})
             if all(rc == 0 for rc in rcs) and not self.log.pending_ids(n_total):
                 return True
-            # shrunk world: EX_TEMPFAIL exits are survivors asking for a
-            # relaunch; anything else (SIGKILL, XLA fatal) is a dead host
-            dead = sum(1 for rc in rcs if rc not in (0, EX_TEMPFAIL))
-            self.world = max(1, world - dead)
+            # Shrink by ONE per failed attempt, not by the count of
+            # non-TEMPFAIL exits: one real death mid-collective takes down
+            # every peer blocked inside the collective with XLA's LOG(FATAL)
+            # (a non-zero, non-TEMPFAIL code indistinguishable from the root
+            # cause), so counting them would collapse an N-host world to 1
+            # on a single failure.  One root-cause death per attempt is the
+            # conservative assumption; a second dead host just costs one
+            # more (bounded) restart.
+            hard_failed = any(rc not in (0, EX_TEMPFAIL) for rc in rcs)
+            self.world = max(1, world - (1 if hard_failed else 0))
             self.restarts += 1

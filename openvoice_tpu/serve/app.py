@@ -168,10 +168,14 @@ class VoiceApp:
             if self.fused and source_se is not None:
                 from openvoice_tpu.api import tts_convert_batched
 
+                # fast=False: keep the staged flow's f32 precision so fused
+                # mode differs ONLY in the documented gap semantics (bf16
+                # serving is an explicit tts_convert_batched(fast=True)
+                # choice, not a side effect of enabling fusion)
                 out = tts_convert_batched(
                     tts_model, self.converter, prompt, style, source_se,
                     target_se, language=language, tau=0.3,
-                    message=self.watermark_message,
+                    message=self.watermark_message, fast=False,
                 )
             else:
                 audio = tts_model.tts_batched(prompt, None, style, language=language)

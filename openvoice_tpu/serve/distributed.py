@@ -151,9 +151,18 @@ class DistributedConvertService:
             lambda a: a[..., 0],
             out_shardings=NamedSharding(self.mesh, P("data")),
         )(audio)
-        # this host's rows only: addressable shards, in global row order
-        shards = sorted(audio.addressable_shards, key=lambda s: s.index[0].start or 0)
-        local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        # this host's rows only: addressable shards in global row order,
+        # DEDUPED by row range — with a model axis > 1 every data-shard row
+        # range appears once per model-axis device (replicas), and naive
+        # concatenation would hand later requests earlier rows' audio
+        by_range: dict[int, np.ndarray] = {}
+        for s in audio.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in by_range:
+                by_range[start] = np.asarray(s.data)
+        local = np.concatenate(
+            [by_range[k] for k in sorted(by_range)], axis=0
+        )
         return [
             local[i, : r.n_frames * cfg.upsample_factor]
             for i, r in enumerate(local_requests)

@@ -68,6 +68,7 @@ def train(
     step = start_step
     t0 = time.time()
     while step < steps:
+        epoch_start = step
         # host batch prep overlaps the device step (data.py::PrefetchIterator);
         # the with-block stops the worker thread on early exit
         with PrefetchIterator(iter(ds)) as prefetch:
@@ -98,6 +99,12 @@ def train(
                     from openvoice_tpu.ckpt import native_io as CIO
 
                     CIO.save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state), step=step)
+        if step == epoch_start:
+            # a one-shot/exhausted iterable yields nothing: stop instead of
+            # spinning forever re-wrapping an empty iterator
+            print(f"[train] dataset exhausted at step {step}/{steps}; stopping",
+                  flush=True)
+            break
     if ckpt_dir is not None and jax.process_index() == 0 and step != start_step:
         from openvoice_tpu.ckpt import native_io as CIO
 

@@ -129,6 +129,20 @@ def test_watermark_survives_large_head_trims():
     assert wm.detect_watermark(abused.astype(np.float32), 2) == "@MyShell"
 
 
+def test_watermark_sliver_trim_and_half_gain_ambiguity():
+    """r4 review regressions: (a) a trim leaving a 1-sample sliver of slot
+    0 must not early-break on the sliver's degenerate all-zero lattice fit
+    (the intact later copies carry the message); (b) fitting at HALF the
+    true gain puts every correlation on an even multiple (residual ~0, all
+    bits 0) — the parity-bearing-constellation guard must reject it."""
+    rng = np.random.default_rng(13)
+    audio = (rng.standard_normal(16000 * 8) * 0.1).astype(np.float32)
+    marked = wm.add_watermark(audio, "@MyShell")
+    assert wm.detect_watermark(marked[15999:], 2) == "@MyShell"
+    for gain in (1.5, 2.0):
+        assert wm.detect_watermark(marked * gain, 2) == "@MyShell", gain
+
+
 def test_watermark_survives_gain_plus_offset():
     """The joint failure mode: re-gained AND shifted audio."""
     rng = np.random.default_rng(5)

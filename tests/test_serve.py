@@ -245,6 +245,49 @@ def test_distributed_convert_service_single_process():
     assert svc.convert_round([]) == []
 
 
+def test_distributed_convert_service_model_axis_dedupes_replica_shards():
+    """r4 review regression: with model parallel > 1, every data-shard row
+    range appears once per model-axis device in addressable_shards; the
+    readback must dedupe by row range or later requests get earlier rows'
+    audio."""
+    import jax.numpy as jnp
+
+    from openvoice_tpu.runtime.bucketing import round_up_to_bucket
+    from openvoice_tpu.runtime.mesh import make_mesh
+    from openvoice_tpu.serve.distributed import DistRequest, DistributedConvertService
+
+    if jax.device_count() < 4:
+        pytest.skip("needs the 8-virtual-device CPU backend")
+    params = S.init_synthesizer(jax.random.PRNGKey(0), TINY)
+    svc = DistributedConvertService(params, TINY, make_mesh(4, data=2, model=2))
+    rng = np.random.default_rng(5)
+    reqs = [
+        DistRequest(
+            spec=np.abs(rng.standard_normal((40 + 4 * i, TINY.spec_channels))).astype(np.float32),
+            n_frames=40 + 4 * i,
+            g_src=rng.standard_normal(TINY.gin_channels).astype(np.float32),
+            g_tgt=rng.standard_normal(TINY.gin_channels).astype(np.float32),
+            tau=0.3, seed=50 + i,
+        )
+        for i in range(4)
+    ]
+    outs = svc.convert_round(reqs)
+    bucket = round_up_to_bucket(max(r.n_frames for r in reqs))
+    for r, out in zip(reqs, outs):
+        spec = np.zeros((1, bucket, TINY.spec_channels), np.float32)
+        spec[0, : r.n_frames] = r.spec
+        noise = np.zeros((1, bucket, TINY.inter_channels), np.float32)
+        noise[0, : r.n_frames] = np.random.default_rng(r.seed).standard_normal(
+            (r.n_frames, TINY.inter_channels)).astype(np.float32)
+        audio, _ = S.voice_conversion_jit(
+            params, TINY, jnp.asarray(spec), jnp.asarray([r.n_frames]),
+            jnp.asarray(r.g_src)[None, None], jnp.asarray(r.g_tgt)[None, None],
+            jnp.full((1, 1, 1), r.tau, np.float32), jnp.asarray(noise),
+        )
+        truth = np.asarray(audio)[0, : r.n_frames * TINY.upsample_factor, 0]
+        np.testing.assert_allclose(out, truth, atol=2e-5)
+
+
 def test_256_stream_with_fault_injection():
     """BASELINE config 5 as a test: a 256-utterance concurrent stream with a
     fault injected mid-stream.  Every request must complete — converted
