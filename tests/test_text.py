@@ -485,6 +485,31 @@ def test_japanese_common_kanji_sentences():
         japanese_to_ipa2("彼は麒麟を飼っています")  # 麒麟: OOV kanji
 
 
+def test_japanese_r4_vocabulary_and_adjective_closure():
+    """r4 JA expansion: clock times (irregular counters), i-adjective stem
+    closure (inflections read through the derived stem entries), and the
+    new verb/noun vocabulary — natural sentences resolve with zero OOV
+    kanji."""
+    from openvoice_tpu.text.japanese import japanese_to_ipa2
+
+    assert japanese_to_ipa2("七時") == "ʃitʃidʑi"
+    assert japanese_to_ipa2("四時半") == "jodʑihan"
+    # i-adjective inflection via the derived stem (面白い → 面白かった)
+    assert "omoʃiɾokatta" in japanese_to_ipa2("面白かったです")
+    # godan conjugations of the new verbs (登る → 登った, 間に合う → 間に合い)
+    assert "nobotta" in japanese_to_ipa2("山に登った")
+    assert "maniaimasen" in japanese_to_ipa2("間に合いません")
+    # zero OOV warnings across natural sentences: strict mode must succeed
+    for t in [
+        "彼は日本の歴史について研究しています。",
+        "明日は雨が降るかもしれませんから、傘を持って行ってください。",
+        "電車が遅れて、会議に間に合いませんでした。",
+        "料理を作るのが好きで、特に魚の料理が得意です。",
+    ]:
+        out = japanese_to_ipa2(t, strict=True)  # raises on any OOV kanji
+        assert len(out) > 10
+
+
 def test_mandarin_char_table_coverage():
     """The embedded fallback covers everyday text: every hanzi in a natural
     paragraph resolves to pinyin (no silent skips)."""
