@@ -214,6 +214,35 @@ def main() -> None:
     assert abs(mel_dp - mel_rep) < 1e-3 * max(1.0, abs(mel_rep)), (mel_dp, mel_rep)
     print(f"child {pid}: training ok", flush=True)
 
+    # --- one FULL GAN step (discriminator + generator updates) over the
+    # 2-process mesh: both networks' gradient all-reduces cross the real
+    # process boundary; updated gen AND disc params equal replicated truth.
+    gan_dp = T.init_gan_train_state(jax.random.PRNGKey(4), cfg, lr=1e-3)
+    gan_dp = jax.device_put(gan_dp, NamedSharding(mesh, P()))
+    new_gan_dp, gm_dp = T.gan_train_step(
+        gan_dp, cfg,
+        make_global_batch(tr_spec[myrows], mesh, spec=P("data")),
+        make_global_batch(tr_audio[myrows], mesh, spec=P("data")),
+        make_global_batch(tr_len[myrows], mesh, spec=P("data")),
+        make_global_batch(tr_g[myrows], mesh, spec=P("data")),
+        step_rng, segment_frames=16, lr=1e-3,
+    )
+    gan_rep = T.init_gan_train_state(jax.random.PRNGKey(4), cfg, lr=1e-3)
+    gan_rep = jax.device_put(gan_rep, NamedSharding(mesh, P()))
+    new_gan_rep, gm_rep = T.gan_train_step(
+        gan_rep, cfg, rep(tr_spec), rep(tr_audio), rep(tr_len), rep(tr_g),
+        step_rng, segment_frames=16, lr=1e-3,
+    )
+    for branch in ("gen", "disc"):
+        flat_a = jax.tree.leaves(getattr(new_gan_dp, branch).params)
+        flat_b = jax.tree.leaves(getattr(new_gan_rep, branch).params)
+        assert len(flat_a) == len(flat_b) > 0
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(gather(a), gather(b), atol=5e-5, rtol=1e-4)
+    d_dp, d_rep = float(gm_dp["disc"]), float(gm_rep["disc"])
+    assert abs(d_dp - d_rep) < 1e-3 * max(1.0, abs(d_rep)), (d_dp, d_rep)
+    print(f"child {pid}: gan training ok", flush=True)
+
     # --- barrier so both processes finish the collective phase together
     multihost_utils.sync_global_devices("child-done")
     print(f"child {pid}: ok", flush=True)

@@ -105,7 +105,7 @@ def test_two_process_distributed_run():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
