@@ -613,6 +613,145 @@ def tts_convert_batched(
     return None
 
 
+def tts_convert_single_dispatch(
+    tts_model: BaseSpeakerTTS,
+    converter: "ToneColorConverter",
+    text: str,
+    speaker,
+    src_se,
+    tgt_se,
+    language: str = "English",
+    speed: float = 1.0,
+    tau: float = 0.3,
+    seed: int = 0,
+    message: str = "default",
+    fast: bool = True,
+    frames_per_token: float = 6.0,
+    output_path: str | None = None,
+):
+    """Text → cloned audio with ONE device dispatch per token bucket: the
+    whole encode + duration + decode + STFT + conversion chain runs as a
+    single graph (models/synthesizer.py::tts_synthesize_convert), with the
+    data-dependent output length capped at `frames_per_token · token_bucket`
+    frames (static shape — the reference's max_len truncation precedent).
+    Sentences whose predicted duration exceeds the cap are detected from
+    the returned uncapped duration sums and re-run exactly through the
+    two-stage fused path — output is never silently truncated.
+
+    vs tts_convert_batched this removes the encode dispatch and the w_ceil
+    readback (one round trip total instead of three) at the cost of
+    decode-bucket padding sized by the cap rather than the true duration.
+    Noise draws are shaped by the static cap, so audio differs from (while
+    being as valid as) the other paths' draws for the same seed.
+    """
+    cfg = tts_model.cfg
+    ccfg = converter.cfg
+    params = tts_model._require_params()
+    cparams = converter._require_params()
+    token_seqs, speaker_id = tts_model._sentence_tokens(text, speaker, language)
+    n = len(token_seqs)
+    if n == 0:
+        out = np.zeros(0, np.float32)
+        if output_path is None:
+            return out
+        write_wav(output_path, out, cfg.sampling_rate)
+        return None
+    noise_rngs = _sentence_noise_rngs(seed, n)
+    conv_rngs = _sentence_conv_rngs(seed, n)
+    g_src = converter._as_g(src_se)
+    g_tgt = converter._as_g(tgt_se)
+    tts_cache = tts_model._require_dec_cache() if fast else None
+    conv_cache = converter._require_dec_cache() if fast else None
+
+    pieces: list[np.ndarray | None] = [None] * n
+    overflow: list[int] = []
+    groups: dict[int, list[int]] = {}
+    for i, seq in enumerate(token_seqs):
+        groups.setdefault(round_up_to_bucket(len(seq)), []).append(i)
+    for tb, idxs in groups.items():
+        m = len(idxs)
+        fb = round_up_to_bucket(max(int(tb * frames_per_token), 1))
+        toks = np.zeros((m, tb), np.int32)
+        lens = np.zeros(m, np.int32)
+        noise_w = np.zeros((m, tb, 2), np.float32)
+        noise_dec = np.zeros((m, fb, cfg.inter_channels), np.float32)
+        noise_conv = np.zeros((m, fb, ccfg.inter_channels), np.float32)
+        for r, i in enumerate(idxs):
+            toks[r, : len(token_seqs[i])] = token_seqs[i]
+            lens[r] = len(token_seqs[i])
+            noise_w[r] = noise_rngs[i][0].standard_normal((tb, 2)).astype(np.float32)
+            noise_dec[r] = noise_rngs[i][1].standard_normal(
+                (fb, cfg.inter_channels)).astype(np.float32)
+            noise_conv[r] = conv_rngs[i].standard_normal(
+                (fb, ccfg.inter_channels)).astype(np.float32)
+        audio, y_frames, total = S.tts_synthesize_convert_jit(
+            params, cfg, jnp.asarray(toks), jnp.asarray(lens),
+            jnp.asarray([speaker_id] * m), jnp.asarray(noise_w), fb,
+            jnp.asarray(noise_dec), cparams, ccfg,
+            jnp.repeat(g_src, m, axis=0), jnp.repeat(g_tgt, m, axis=0),
+            float(tau), jnp.asarray(noise_conv),
+            length_scale=1.0 / speed, fast=fast,
+            tts_dec_cache=tts_cache, conv_dec_cache=conv_cache,
+        )
+        audio_np = np.asarray(audio[..., 0])
+        y_np = np.asarray(y_frames)
+        total_np = np.asarray(total)
+        for r, i in enumerate(idxs):
+            if total_np[r] > fb:
+                overflow.append(i)  # capped: re-run exactly below
+            else:
+                pieces[i] = audio_np[r, : int(y_np[r]) * cfg.upsample_factor]
+
+    if overflow:
+        # rare long sentences: re-run through the two-stage fused machinery
+        # at their true frame buckets — exact, never truncated.  FRESH
+        # generators: the originals advanced when the capped dispatch drew
+        # from them, and the re-run must reproduce the same sentence draws.
+        fresh_noise = _sentence_noise_rngs(seed, n)
+        fresh_conv = _sentence_conv_rngs(seed, n)
+        enc_rows = _encode_rows(
+            params, cfg, [token_seqs[i] for i in overflow], speaker_id,
+            speed, [fresh_noise[i] for i in overflow],
+        )
+        g_row = np.asarray(params["emb_g"])[speaker_id][None, :]
+        fgroups: dict[int, list[int]] = {}
+        for k in range(len(overflow)):
+            total_k = int(enc_rows[k]["w_ceil"].sum())
+            fgroups.setdefault(round_up_to_bucket(max(total_k, 1)), []).append(k)
+        for fb2, ks in fgroups.items():
+            enc = _stack_enc_rows(enc_rows, ks, g_row)
+            noise_dec = np.stack([
+                fresh_noise[overflow[k]][1].standard_normal(
+                    (fb2, cfg.inter_channels)).astype(np.float32)
+                for k in ks
+            ])
+            noise_conv = np.stack([
+                fresh_conv[overflow[k]].standard_normal(
+                    (fb2, ccfg.inter_channels)).astype(np.float32)
+                for k in ks
+            ])
+            audio, y_mask = S.tts_decode_convert_jit(
+                params, cfg, enc, fb2, jnp.asarray(noise_dec),
+                cparams, ccfg,
+                jnp.repeat(g_src, len(ks), axis=0),
+                jnp.repeat(g_tgt, len(ks), axis=0),
+                float(tau), jnp.asarray(noise_conv),
+                fast=fast, tts_dec_cache=tts_cache, conv_dec_cache=conv_cache,
+            )
+            audio_np = np.asarray(audio[..., 0])
+            y_lengths = np.asarray(jnp.sum(y_mask[..., 0], axis=-1)).astype(np.int64)
+            for r, k in enumerate(ks):
+                pieces[overflow[k]] = audio_np[r, : y_lengths[r] * cfg.upsample_factor]
+
+    out = _concat_with_gaps(pieces, cfg.sampling_rate, speed)
+    if converter.enable_watermark and message:
+        out = converter.add_watermark(out, message)
+    if output_path is None:
+        return out
+    write_wav(output_path, out, cfg.sampling_rate)
+    return None
+
+
 def _encode_rows(params, cfg, token_seqs, speaker_id, speed, noise_rngs) -> list[dict]:
     """Bucketed-batch TTS encode shared by tts_batched and
     tts_convert_batched: sentences grouped by token bucket, one

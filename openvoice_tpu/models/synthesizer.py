@@ -704,6 +704,55 @@ def tts_decode_convert(
     return conv_audio, y_mask
 
 
+def tts_synthesize_convert(
+    params: dict,
+    cfg: SynthesizerConfig,
+    tokens: jnp.ndarray,
+    token_lengths: jnp.ndarray,
+    sid: jnp.ndarray,
+    noise_w: jnp.ndarray,
+    max_frames: int,
+    noise_dec: jnp.ndarray,
+    conv_params: dict,
+    conv_cfg: SynthesizerConfig,
+    g_src: jnp.ndarray,
+    g_tgt: jnp.ndarray,
+    tau: float | jnp.ndarray,
+    noise_conv: jnp.ndarray,
+    noise_scale: float = 0.667,
+    noise_scale_w: float = 0.6,
+    length_scale: float = 1.0,
+    sdp_ratio: float = 0.2,
+    fast: bool = False,
+    tts_dec_cache: dict | None = None,
+    conv_dec_cache: dict | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Text → cloned audio as ONE graph: encode + duration + decode + STFT
+    + conversion, with the data-dependent output length capped at the
+    static `max_frames` (the reference's own `max_len` truncation precedent,
+    models.py:467,489).  Removes the encode dispatch + w_ceil readback the
+    two-stage split pays — decisive under remote-dispatch tunnels.
+
+    Returns (conv_audio [B, max_frames·up, 1], y_frames [B] int32 ACTUAL
+    decoded frames, total_frames [B] int32 UNCAPPED duration sums — rows
+    where total > max_frames were truncated and the caller re-runs them
+    through the two-stage path).
+    """
+    enc = tts_encode(
+        params, cfg, tokens, token_lengths, sid, None,
+        noise_scale_w=noise_scale_w, length_scale=length_scale,
+        sdp_ratio=sdp_ratio, noise_w=noise_w,
+    )
+    total = jnp.sum(enc.w_ceil, axis=-1).astype(jnp.int32)  # [B] uncapped
+    audio, y_mask = tts_decode_convert(
+        params, cfg, enc, max_frames, noise_dec, conv_params, conv_cfg,
+        g_src, g_tgt, tau, noise_conv, noise_scale=noise_scale, fast=fast,
+        tts_dec_cache=tts_dec_cache, conv_dec_cache=conv_dec_cache,
+    )
+    y_frames = jnp.sum(y_mask[..., 0], axis=-1).astype(jnp.int32)
+    return audio, y_frames, total
+
+
 # jitted stage wrappers: one compiled program per (cfg, token-bucket) /
 # (cfg, frame-bucket); sampling knobs stay traced so changing them is free
 tts_encode_jit = jax.jit(tts_encode, static_argnames=("cfg",))
@@ -711,6 +760,10 @@ tts_decode_jit = jax.jit(tts_decode, static_argnames=("cfg", "max_frames", "fast
 voice_conversion_jit = jax.jit(voice_conversion, static_argnames=("cfg", "fast"))
 tts_decode_convert_jit = jax.jit(
     tts_decode_convert,
+    static_argnames=("cfg", "max_frames", "conv_cfg", "fast"),
+)
+tts_synthesize_convert_jit = jax.jit(
+    tts_synthesize_convert,
     static_argnames=("cfg", "max_frames", "conv_cfg", "fast"),
 )
 

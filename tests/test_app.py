@@ -294,6 +294,50 @@ def test_tts_convert_fused_multisentence_smoke():
     np.testing.assert_array_equal(out, out2)
 
 
+def test_tts_convert_single_dispatch_and_overflow_fallback():
+    """The one-dispatch path (api.tts_convert_single_dispatch): finite,
+    deterministic per seed, right sample-rate scale; with a tiny frame cap
+    every sentence overflows and the fallback must produce EXACTLY the
+    two-stage fused path's audio (same seed draws)."""
+    from openvoice_tpu.api import (
+        BaseSpeakerTTS, ToneColorConverter,
+        tts_convert_batched, tts_convert_single_dispatch,
+    )
+
+    tts = BaseSpeakerTTS(cfg=TINY_TTS)
+    tts.init_random(0)
+    conv = ToneColorConverter(cfg=FUSED_CONV, enable_watermark=False)
+    conv.init_random(1)
+    rng = np.random.default_rng(6)
+    src = rng.standard_normal((1, FUSED_CONV.gin_channels, 1)).astype(np.float32)
+    tgt = rng.standard_normal((1, FUSED_CONV.gin_channels, 1)).astype(np.float32)
+    text = "hello there my good friend"
+
+    out = tts_convert_single_dispatch(
+        tts, conv, text, 0, src, tgt, seed=3, fast=False, message="",
+        frames_per_token=6.0,
+    )
+    assert out.size > 0 and np.isfinite(out).all()
+    out2 = tts_convert_single_dispatch(
+        tts, conv, text, 0, src, tgt, seed=3, fast=False, message="",
+        frames_per_token=6.0,
+    )
+    np.testing.assert_array_equal(out, out2)
+
+    # force total overflow: cap far below any real duration → every
+    # sentence re-runs through the two-stage path, whose draws equal
+    # tts_convert_batched's for the same seed
+    forced = tts_convert_single_dispatch(
+        tts, conv, text, 0, src, tgt, seed=3, fast=False, message="",
+        frames_per_token=0.05,
+    )
+    staged = tts_convert_batched(
+        tts, conv, text, 0, src, tgt, seed=3, fast=False, message="",
+    )
+    assert forced.shape == staged.shape
+    np.testing.assert_allclose(forced, staged, atol=1e-6)
+
+
 def test_app_fused_mode_end_to_end(ref_wav):
     """VoiceApp(fused=True) serves the one-dispatch tts→convert chain when
     a source SE exists; same success contract as the staged flow."""
