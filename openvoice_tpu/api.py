@@ -752,6 +752,95 @@ def tts_convert_single_dispatch(
     return None
 
 
+def tts_convert_stream(
+    tts_model: BaseSpeakerTTS,
+    converter: "ToneColorConverter",
+    text: str,
+    speaker,
+    src_se,
+    tgt_se,
+    language: str = "English",
+    speed: float = 1.0,
+    tau: float = 0.3,
+    seed: int = 0,
+    message: str = "default",
+    fast: bool = True,
+    frames_per_token: float = 6.0,
+):
+    """Generator: cloned audio ARRIVES SENTENCE BY SENTENCE (each chunk is
+    one sentence + its trailing gap, watermarked).  Time-to-first-audio is
+    one single-dispatch round trip (~0.3 s here) instead of the whole
+    text's synthesis — the progressive-playback mode the reference's
+    whole-utterance loop cannot offer (api.py:80-98).
+
+    Per-sentence draws use the same seed derivation as
+    tts_convert_single_dispatch, so with watermarking off
+    `np.concatenate(list(...))` equals that function's output for the same
+    arguments (test-pinned), just delivered incrementally; with a message,
+    each streamed chunk is watermarked individually (a one-shot caller
+    watermarks the joined audio once instead).  Overflowing sentences
+    (duration > the static cap) fall back exactly like single-dispatch.
+    """
+    cfg = tts_model.cfg
+    ccfg = converter.cfg
+    params = tts_model._require_params()
+    cparams = converter._require_params()
+    token_seqs, speaker_id = tts_model._sentence_tokens(text, speaker, language)
+    n = len(token_seqs)
+    if n == 0:
+        return
+    noise_rngs = _sentence_noise_rngs(seed, n)
+    conv_rngs = _sentence_conv_rngs(seed, n)
+    g_src = converter._as_g(src_se)
+    g_tgt = converter._as_g(tgt_se)
+    tts_cache = tts_model._require_dec_cache() if fast else None
+    conv_cache = converter._require_dec_cache() if fast else None
+    gap = np.zeros(int(cfg.sampling_rate * 0.05 / speed), np.float32)
+
+    for i, seq in enumerate(token_seqs):
+        tb = round_up_to_bucket(len(seq))
+        fb = round_up_to_bucket(max(int(tb * frames_per_token), 1))
+        toks = np.zeros((1, tb), np.int32)
+        toks[0, : len(seq)] = seq
+        noise_w = noise_rngs[i][0].standard_normal((tb, 2)).astype(np.float32)[None]
+        noise_dec = noise_rngs[i][1].standard_normal(
+            (fb, cfg.inter_channels)).astype(np.float32)[None]
+        noise_conv = conv_rngs[i].standard_normal(
+            (fb, ccfg.inter_channels)).astype(np.float32)[None]
+        audio, y_frames, total = S.tts_synthesize_convert_jit(
+            params, cfg, jnp.asarray(toks), jnp.asarray([len(seq)]),
+            jnp.asarray([speaker_id]), jnp.asarray(noise_w), fb,
+            jnp.asarray(noise_dec), cparams, ccfg, g_src, g_tgt,
+            float(tau), jnp.asarray(noise_conv),
+            length_scale=1.0 / speed, fast=fast,
+            tts_dec_cache=tts_cache, conv_dec_cache=conv_cache,
+        )
+        if int(np.asarray(total)[0]) > fb:
+            # overflow: exact two-stage fallback for this sentence (fresh
+            # generators — the capped dispatch advanced the originals)
+            fresh_n = _sentence_noise_rngs(seed, n)[i]
+            fresh_c = _sentence_conv_rngs(seed, n)[i]
+            enc_rows = _encode_rows(params, cfg, [seq], speaker_id, speed, [fresh_n])
+            fb2 = round_up_to_bucket(max(int(enc_rows[0]["w_ceil"].sum()), 1))
+            g_row = np.asarray(params["emb_g"])[speaker_id][None, :]
+            enc = _stack_enc_rows(enc_rows, [0], g_row)
+            nd = fresh_n[1].standard_normal((fb2, cfg.inter_channels)).astype(np.float32)[None]
+            nc = fresh_c.standard_normal((fb2, ccfg.inter_channels)).astype(np.float32)[None]
+            audio, y_mask = S.tts_decode_convert_jit(
+                params, cfg, enc, fb2, jnp.asarray(nd), cparams, ccfg,
+                g_src, g_tgt, float(tau), jnp.asarray(nc),
+                fast=fast, tts_dec_cache=tts_cache, conv_dec_cache=conv_cache,
+            )
+            y_len = int(np.asarray(jnp.sum(y_mask[..., 0], axis=-1))[0])
+        else:
+            y_len = int(np.asarray(y_frames)[0])
+        piece = np.asarray(audio[..., 0])[0, : y_len * cfg.upsample_factor]
+        chunk = np.concatenate([piece, gap])
+        if converter.enable_watermark and message:
+            chunk = converter.add_watermark(chunk, message)
+        yield chunk
+
+
 def _encode_rows(params, cfg, token_seqs, speaker_id, speed, noise_rngs) -> list[dict]:
     """Bucketed-batch TTS encode shared by tts_batched and
     tts_convert_batched: sentences grouped by token bucket, one

@@ -338,6 +338,48 @@ def test_tts_convert_single_dispatch_and_overflow_fallback():
     np.testing.assert_allclose(forced, staged, atol=1e-6)
 
 
+def test_tts_convert_stream_matches_single_dispatch():
+    """Streamed per-sentence delivery: concatenating the chunks equals the
+    one-shot single-dispatch output for the same seed (watermark off), and
+    chunks arrive one per sentence."""
+    from openvoice_tpu.api import (
+        BaseSpeakerTTS, ToneColorConverter,
+        tts_convert_single_dispatch, tts_convert_stream,
+    )
+
+    tts = BaseSpeakerTTS(cfg=TINY_TTS)
+    tts.init_random(0)
+    conv = ToneColorConverter(cfg=FUSED_CONV, enable_watermark=False)
+    conv.init_random(1)
+    rng = np.random.default_rng(8)
+    src = rng.standard_normal((1, FUSED_CONV.gin_channels, 1)).astype(np.float32)
+    tgt = rng.standard_normal((1, FUSED_CONV.gin_channels, 1)).astype(np.float32)
+    text = ("The weather in the city is really very nice again today my friend. "
+            "Later this evening we should all take a long walk in the park together.")
+
+    chunks = list(tts_convert_stream(
+        tts, conv, text, 0, src, tgt, seed=9, fast=False, message="",
+        frames_per_token=6.0,
+    ))
+    assert len(chunks) == 2  # one per sentence
+    one_shot = tts_convert_single_dispatch(
+        tts, conv, text, 0, src, tgt, seed=9, fast=False, message="",
+        frames_per_token=6.0,
+    )
+    streamed = np.concatenate(chunks)
+    assert streamed.shape == one_shot.shape
+    np.testing.assert_allclose(streamed, one_shot, atol=1e-6)
+
+    # overflow fallback inside the stream too
+    chunks_of = list(tts_convert_stream(
+        tts, conv, text, 0, src, tgt, seed=9, fast=False, message="",
+        frames_per_token=0.05,
+    ))
+    assert len(chunks_of) == 2
+    for c in chunks_of:
+        assert c.size > 0 and np.isfinite(c).all()
+
+
 def test_app_fused_mode_end_to_end(ref_wav):
     """VoiceApp(fused=True) serves the one-dispatch tts→convert chain when
     a source SE exists; same success contract as the staged flow."""
