@@ -107,6 +107,8 @@ def make_handler(service: VoiceService):
                     self._convert(req)
                 elif self.path == "/tts":
                     self._tts(req)
+                elif self.path == "/clone":
+                    self._clone(req)
                 else:
                     self._json(404, {"error": "not found"})
             except Exception as exc:  # noqa: BLE001 — per-request isolation
@@ -154,6 +156,60 @@ def make_handler(service: VoiceService):
                 raise ValueError("missing tgt_se or tgt_ref_path")
             out = service.convert_audio(
                 audio, src_se, tgt_se, tau=float(req.get("tau", 0.3)),
+                seed=int(req.get("seed", 0)),
+            )
+            self._json(
+                200,
+                {
+                    "sample_rate": service.converter.cfg.sampling_rate,
+                    "audio_b64": base64.b64encode(out.astype(np.float32).tobytes()).decode(),
+                    "num_samples": int(out.shape[0]),
+                },
+            )
+
+        def _clone(self, req) -> None:
+            """The full text→cloned-audio chain through the fused dispatches
+            (api.tts_convert_batched / tts_convert_single_dispatch):
+            {"text", "speaker"?, "language"?, "tgt_se"|"tgt_ref_path",
+             "src_se"?, "tau"?, "seed"?, "mode": "fused"|"single"}."""
+            if service.tts_model is None:
+                raise ValueError("no base TTS model loaded")
+            text = req.get("text", "")
+            err = _guard_text(text)
+            if err:
+                self._json(400, {"error": err})
+                return
+            if "tgt_se" in req:
+                tgt_se = np.asarray(req["tgt_se"], np.float32)
+            elif "tgt_ref_path" in req:
+                tgt_se = np.asarray(
+                    service.converter.extract_se_from_file(req["tgt_ref_path"])
+                ).reshape(-1)
+            else:
+                raise ValueError("missing tgt_se or tgt_ref_path")
+            if "src_se" in req:
+                src_se = np.asarray(req["src_se"], np.float32)
+            else:
+                raise ValueError(
+                    "missing src_se (the fused chain needs the base "
+                    "speaker's SE; use /tts + /convert to derive it)"
+                )
+            from openvoice_tpu.api import (
+                tts_convert_batched,
+                tts_convert_single_dispatch,
+            )
+
+            fn = (
+                tts_convert_single_dispatch
+                if req.get("mode", "fused") == "single"
+                else tts_convert_batched
+            )
+            out = fn(
+                service.tts_model, service.converter, text,
+                req.get("speaker", "default"), src_se, tgt_se,
+                language=req.get("language", "English"),
+                speed=float(req.get("speed", 1.0)),
+                tau=float(req.get("tau", 0.3)),
                 seed=int(req.get("seed", 0)),
             )
             self._json(
