@@ -628,6 +628,7 @@ def tts_convert_single_dispatch(
     fast: bool = True,
     frames_per_token: float = 6.0,
     output_path: str | None = None,
+    stats: dict | None = None,
 ):
     """Text → cloned audio with ONE device dispatch per token bucket: the
     whole encode + duration + decode + STFT + conversion chain runs as a
@@ -643,6 +644,10 @@ def tts_convert_single_dispatch(
     decode-bucket padding sized by the cap rather than the true duration.
     Noise draws are shaped by the static cap, so audio differs from (while
     being as valid as) the other paths' draws for the same seed.
+
+    `stats`, when given a dict, is filled with {"sentences",
+    "overflow_sentences"} so callers (benchmarks, capacity planning) can
+    see how often the cap forced the hybrid fallback.
     """
     cfg = tts_model.cfg
     ccfg = converter.cfg
@@ -671,19 +676,17 @@ def tts_convert_single_dispatch(
     for tb, idxs in groups.items():
         m = len(idxs)
         fb = round_up_to_bucket(max(int(tb * frames_per_token), 1))
-        toks = np.zeros((m, tb), np.int32)
-        lens = np.zeros(m, np.int32)
-        noise_w = np.zeros((m, tb, 2), np.float32)
-        noise_dec = np.zeros((m, fb, cfg.inter_channels), np.float32)
-        noise_conv = np.zeros((m, fb, ccfg.inter_channels), np.float32)
-        for r, i in enumerate(idxs):
-            toks[r, : len(token_seqs[i])] = token_seqs[i]
-            lens[r] = len(token_seqs[i])
-            noise_w[r] = noise_rngs[i][0].standard_normal((tb, 2)).astype(np.float32)
-            noise_dec[r] = noise_rngs[i][1].standard_normal(
+        toks, lens, noise_w = _pack_token_batch(token_seqs, idxs, tb, noise_rngs)
+        noise_dec = np.stack([
+            noise_rngs[i][1].standard_normal(
                 (fb, cfg.inter_channels)).astype(np.float32)
-            noise_conv[r] = conv_rngs[i].standard_normal(
+            for i in idxs
+        ])
+        noise_conv = np.stack([
+            conv_rngs[i].standard_normal(
                 (fb, ccfg.inter_channels)).astype(np.float32)
+            for i in idxs
+        ])
         audio, y_frames, total = S.tts_synthesize_convert_jit(
             params, cfg, jnp.asarray(toks), jnp.asarray(lens),
             jnp.asarray([speaker_id] * m), jnp.asarray(noise_w), fb,
@@ -702,46 +705,17 @@ def tts_convert_single_dispatch(
             else:
                 pieces[i] = audio_np[r, : int(y_np[r]) * cfg.upsample_factor]
 
+    if stats is not None:
+        stats["sentences"] = n
+        stats["overflow_sentences"] = len(overflow)
     if overflow:
         # rare long sentences: re-run through the two-stage fused machinery
-        # at their true frame buckets — exact, never truncated.  FRESH
-        # generators: the originals advanced when the capped dispatch drew
-        # from them, and the re-run must reproduce the same sentence draws.
-        fresh_noise = _sentence_noise_rngs(seed, n)
-        fresh_conv = _sentence_conv_rngs(seed, n)
-        enc_rows = _encode_rows(
-            params, cfg, [token_seqs[i] for i in overflow], speaker_id,
-            speed, [fresh_noise[i] for i in overflow],
-        )
-        g_row = np.asarray(params["emb_g"])[speaker_id][None, :]
-        fgroups: dict[int, list[int]] = {}
-        for k in range(len(overflow)):
-            total_k = int(enc_rows[k]["w_ceil"].sum())
-            fgroups.setdefault(round_up_to_bucket(max(total_k, 1)), []).append(k)
-        for fb2, ks in fgroups.items():
-            enc = _stack_enc_rows(enc_rows, ks, g_row)
-            noise_dec = np.stack([
-                fresh_noise[overflow[k]][1].standard_normal(
-                    (fb2, cfg.inter_channels)).astype(np.float32)
-                for k in ks
-            ])
-            noise_conv = np.stack([
-                fresh_conv[overflow[k]].standard_normal(
-                    (fb2, ccfg.inter_channels)).astype(np.float32)
-                for k in ks
-            ])
-            audio, y_mask = S.tts_decode_convert_jit(
-                params, cfg, enc, fb2, jnp.asarray(noise_dec),
-                cparams, ccfg,
-                jnp.repeat(g_src, len(ks), axis=0),
-                jnp.repeat(g_tgt, len(ks), axis=0),
-                float(tau), jnp.asarray(noise_conv),
-                fast=fast, tts_dec_cache=tts_cache, conv_dec_cache=conv_cache,
-            )
-            audio_np = np.asarray(audio[..., 0])
-            y_lengths = np.asarray(jnp.sum(y_mask[..., 0], axis=-1)).astype(np.int64)
-            for r, k in enumerate(ks):
-                pieces[overflow[k]] = audio_np[r, : y_lengths[r] * cfg.upsample_factor]
+        # at their true frame buckets — exact, never truncated
+        for i, piece in _two_stage_pieces(
+            params, cfg, cparams, ccfg, token_seqs, overflow, seed, n,
+            speaker_id, speed, g_src, g_tgt, tau, fast, tts_cache, conv_cache,
+        ).items():
+            pieces[i] = piece
 
     out = _concat_with_gaps(pieces, cfg.sampling_rate, speed)
     if converter.enable_watermark and message:
@@ -816,29 +790,83 @@ def tts_convert_stream(
             tts_dec_cache=tts_cache, conv_dec_cache=conv_cache,
         )
         if int(np.asarray(total)[0]) > fb:
-            # overflow: exact two-stage fallback for this sentence (fresh
-            # generators — the capped dispatch advanced the originals)
-            fresh_n = _sentence_noise_rngs(seed, n)[i]
-            fresh_c = _sentence_conv_rngs(seed, n)[i]
-            enc_rows = _encode_rows(params, cfg, [seq], speaker_id, speed, [fresh_n])
-            fb2 = round_up_to_bucket(max(int(enc_rows[0]["w_ceil"].sum()), 1))
-            g_row = np.asarray(params["emb_g"])[speaker_id][None, :]
-            enc = _stack_enc_rows(enc_rows, [0], g_row)
-            nd = fresh_n[1].standard_normal((fb2, cfg.inter_channels)).astype(np.float32)[None]
-            nc = fresh_c.standard_normal((fb2, ccfg.inter_channels)).astype(np.float32)[None]
-            audio, y_mask = S.tts_decode_convert_jit(
-                params, cfg, enc, fb2, jnp.asarray(nd), cparams, ccfg,
-                g_src, g_tgt, float(tau), jnp.asarray(nc),
-                fast=fast, tts_dec_cache=tts_cache, conv_dec_cache=conv_cache,
-            )
-            y_len = int(np.asarray(jnp.sum(y_mask[..., 0], axis=-1))[0])
+            # overflow: exact two-stage fallback for this sentence (the
+            # shared helper uses fresh generators — the capped dispatch
+            # advanced the originals)
+            piece = _two_stage_pieces(
+                params, cfg, cparams, ccfg, token_seqs, [i], seed, n,
+                speaker_id, speed, g_src, g_tgt, tau, fast,
+                tts_cache, conv_cache,
+            )[i]
         else:
             y_len = int(np.asarray(y_frames)[0])
-        piece = np.asarray(audio[..., 0])[0, : y_len * cfg.upsample_factor]
+            piece = np.asarray(audio[..., 0])[0, : y_len * cfg.upsample_factor]
         chunk = np.concatenate([piece, gap])
         if converter.enable_watermark and message:
             chunk = converter.add_watermark(chunk, message)
         yield chunk
+
+
+def _pack_token_batch(token_seqs, idxs, tb, noise_rngs):
+    """One token-bucket group's (tokens, lengths, sdp-noise) arrays —
+    shared by every bucketed front end so the draw order stays identical
+    across paths."""
+    m = len(idxs)
+    toks = np.zeros((m, tb), np.int32)
+    lens = np.zeros(m, np.int32)
+    noise_w = np.zeros((m, tb, 2), np.float32)
+    for r, i in enumerate(idxs):
+        toks[r, : len(token_seqs[i])] = token_seqs[i]
+        lens[r] = len(token_seqs[i])
+        noise_w[r] = noise_rngs[i][0].standard_normal((tb, 2)).astype(np.float32)
+    return toks, lens, noise_w
+
+
+def _two_stage_pieces(
+    params, cfg, cparams, ccfg, token_seqs, sent_ids, seed, n_total,
+    speaker_id, speed, g_src, g_tgt, tau, fast, tts_cache, conv_cache,
+) -> dict:
+    """Exact two-stage fused synthesis (encode → decode+convert) for the
+    given sentence ids, with FRESH seed-derived generators — the overflow
+    fallback shared by tts_convert_single_dispatch and tts_convert_stream;
+    its draws equal tts_convert_batched's for the same seed (test-pinned).
+    Returns {sentence_id: audio piece at true length}."""
+    fresh_noise = _sentence_noise_rngs(seed, n_total)
+    fresh_conv = _sentence_conv_rngs(seed, n_total)
+    enc_rows = _encode_rows(
+        params, cfg, [token_seqs[i] for i in sent_ids], speaker_id, speed,
+        [fresh_noise[i] for i in sent_ids],
+    )
+    g_row = np.asarray(params["emb_g"])[speaker_id][None, :]
+    pieces: dict = {}
+    fgroups: dict[int, list[int]] = {}
+    for k in range(len(sent_ids)):
+        total_k = int(enc_rows[k]["w_ceil"].sum())
+        fgroups.setdefault(round_up_to_bucket(max(total_k, 1)), []).append(k)
+    for fb, ks in fgroups.items():
+        enc = _stack_enc_rows(enc_rows, ks, g_row)
+        noise_dec = np.stack([
+            fresh_noise[sent_ids[k]][1].standard_normal(
+                (fb, cfg.inter_channels)).astype(np.float32)
+            for k in ks
+        ])
+        noise_conv = np.stack([
+            fresh_conv[sent_ids[k]].standard_normal(
+                (fb, ccfg.inter_channels)).astype(np.float32)
+            for k in ks
+        ])
+        audio, y_mask = S.tts_decode_convert_jit(
+            params, cfg, enc, fb, jnp.asarray(noise_dec), cparams, ccfg,
+            jnp.repeat(g_src, len(ks), axis=0),
+            jnp.repeat(g_tgt, len(ks), axis=0),
+            float(tau), jnp.asarray(noise_conv),
+            fast=fast, tts_dec_cache=tts_cache, conv_dec_cache=conv_cache,
+        )
+        audio_np = np.asarray(audio[..., 0])
+        y_lengths = np.asarray(jnp.sum(y_mask[..., 0], axis=-1)).astype(np.int64)
+        for r, k in enumerate(ks):
+            pieces[sent_ids[k]] = audio_np[r, : y_lengths[r] * cfg.upsample_factor]
+    return pieces
 
 
 def _encode_rows(params, cfg, token_seqs, speaker_id, speed, noise_rngs) -> list[dict]:
@@ -853,13 +881,7 @@ def _encode_rows(params, cfg, token_seqs, speaker_id, speed, noise_rngs) -> list
         groups.setdefault(round_up_to_bucket(len(seq)), []).append(i)
     for tb, idxs in groups.items():
         m = len(idxs)
-        toks = np.zeros((m, tb), np.int32)
-        lens = np.zeros(m, np.int32)
-        noise_w = np.zeros((m, tb, 2), np.float32)
-        for r, i in enumerate(idxs):
-            toks[r, : len(token_seqs[i])] = token_seqs[i]
-            lens[r] = len(token_seqs[i])
-            noise_w[r] = noise_rngs[i][0].standard_normal((tb, 2)).astype(np.float32)
+        toks, lens, noise_w = _pack_token_batch(token_seqs, idxs, tb, noise_rngs)
         enc = S.tts_encode_jit(
             params, cfg, jnp.asarray(toks), jnp.asarray(lens),
             jnp.asarray([speaker_id] * m), None,

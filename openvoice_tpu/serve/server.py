@@ -5,6 +5,8 @@ stdlib HTTP app with the same request semantics and guard rails).
 Endpoints:
   POST /convert   {audio_b64 | audio_path, src_se?, tgt_ref_path?, tau?}
   POST /tts       {text, speaker, language, speed}   (V1 base TTS loaded)
+  POST /clone     {text, src_se, tgt_se | tgt_ref_path, mode: fused|single}
+                  — the full text→cloned-audio chain via the fused dispatches
   GET  /healthz   liveness
   GET  /metrics   JSON metrics snapshot (latency, RTF, audio-seconds)
 
@@ -171,13 +173,25 @@ def make_handler(service: VoiceService):
             """The full text→cloned-audio chain through the fused dispatches
             (api.tts_convert_batched / tts_convert_single_dispatch):
             {"text", "speaker"?, "language"?, "tgt_se"|"tgt_ref_path",
-             "src_se"?, "tau"?, "seed"?, "mode": "fused"|"single"}."""
+             "src_se", "tau"?, "seed"?, "mode": "fused"|"single"}.
+            Malformed requests are 400s; only genuine faults reach the 500
+            handler."""
+            import time as _time
+
             if service.tts_model is None:
                 raise ValueError("no base TTS model loaded")
             text = req.get("text", "")
             err = _guard_text(text)
             if err:
                 self._json(400, {"error": err})
+                return
+            mode = req.get("mode", "fused")
+            if mode not in ("fused", "single"):
+                self._json(400, {"error": (
+                    f"[ERROR] unknown mode {mode!r}: expected 'fused' or "
+                    "'single' (the two paths draw noise differently — a "
+                    "silent fallback would change the audio)"
+                )})
                 return
             if "tgt_se" in req:
                 tgt_se = np.asarray(req["tgt_se"], np.float32)
@@ -186,24 +200,22 @@ def make_handler(service: VoiceService):
                     service.converter.extract_se_from_file(req["tgt_ref_path"])
                 ).reshape(-1)
             else:
-                raise ValueError("missing tgt_se or tgt_ref_path")
-            if "src_se" in req:
-                src_se = np.asarray(req["src_se"], np.float32)
-            else:
-                raise ValueError(
-                    "missing src_se (the fused chain needs the base "
+                self._json(400, {"error": "[ERROR] missing tgt_se or tgt_ref_path"})
+                return
+            if "src_se" not in req:
+                self._json(400, {"error": (
+                    "[ERROR] missing src_se (the fused chain needs the base "
                     "speaker's SE; use /tts + /convert to derive it)"
-                )
+                )})
+                return
+            src_se = np.asarray(req["src_se"], np.float32)
             from openvoice_tpu.api import (
                 tts_convert_batched,
                 tts_convert_single_dispatch,
             )
 
-            fn = (
-                tts_convert_single_dispatch
-                if req.get("mode", "fused") == "single"
-                else tts_convert_batched
-            )
+            fn = tts_convert_single_dispatch if mode == "single" else tts_convert_batched
+            t0 = _time.perf_counter()
             out = fn(
                 service.tts_model, service.converter, text,
                 req.get("speaker", "default"), src_se, tgt_se,
@@ -212,10 +224,13 @@ def make_handler(service: VoiceService):
                 tau=float(req.get("tau", 0.3)),
                 seed=int(req.get("seed", 0)),
             )
+            sr = service.converter.cfg.sampling_rate
+            METRICS.add("audio_seconds", len(out) / sr)
+            METRICS.observe("request_latency", _time.perf_counter() - t0)
             self._json(
                 200,
                 {
-                    "sample_rate": service.converter.cfg.sampling_rate,
+                    "sample_rate": sr,
                     "audio_b64": base64.b64encode(out.astype(np.float32).tobytes()).decode(),
                     "num_samples": int(out.shape[0]),
                 },

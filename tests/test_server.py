@@ -111,11 +111,44 @@ def test_clone_endpoint_fused_and_single(server):
 
 
 def test_clone_endpoint_guards(server):
+    """Malformed requests are 400-class client errors (not 500s that
+    pollute fault metrics and invite retries of permanently-bad requests)."""
     port, _ = server
     code, resp = _post(port, "/clone", {"text": "x"})
     assert code == 400 and resp["error"].startswith("[ERROR]")
     code, resp = _post(port, "/clone", {"text": "hello there friend"})
-    assert code == 500 and "tgt_se" in resp["error"]
+    assert code == 400 and "tgt_se" in resp["error"]
+    rng = np.random.default_rng(2)
+    tgt = rng.standard_normal(TINY_CONV.gin_channels).astype(np.float32)
+    code, resp = _post(port, "/clone", {
+        "text": "hello there friend", "tgt_se": tgt.tolist(),
+    })
+    assert code == 400 and "src_se" in resp["error"]
+    # unknown mode is rejected, never a silent fallback (the paths draw
+    # noise differently)
+    src = rng.standard_normal(TINY_CONV.gin_channels).astype(np.float32)
+    code, resp = _post(port, "/clone", {
+        "text": "hello there friend", "tgt_se": tgt.tolist(),
+        "src_se": src.tolist(), "mode": "Single",
+    })
+    assert code == 400 and "unknown mode" in resp["error"]
+
+
+def test_clone_endpoint_records_metrics(server):
+    from openvoice_tpu.runtime.profiler import METRICS
+
+    port, _ = server
+    before = METRICS.snapshot()["counters"].get("audio_seconds", 0)
+    rng = np.random.default_rng(3)
+    src = rng.standard_normal(TINY_CONV.gin_channels).astype(np.float32)
+    tgt = rng.standard_normal(TINY_CONV.gin_channels).astype(np.float32)
+    code, resp = _post(port, "/clone", {
+        "text": "hello there my friend",
+        "src_se": src.tolist(), "tgt_se": tgt.tolist(),
+    })
+    assert code == 200
+    after = METRICS.snapshot()["counters"].get("audio_seconds", 0)
+    assert after > before
 
 
 def test_unknown_endpoint(server):

@@ -508,6 +508,14 @@ def test_japanese_r4_vocabulary_and_adjective_closure():
     ]:
         out = japanese_to_ipa2(t, strict=True)  # raises on any OOV kanji
         assert len(out) > 10
+    # r4 review regression: the adjective closure must NOT derive bare
+    # single-kanji stems (高→たか) — they would silently misread unrelated
+    # compounds; the visible OOV error is the correct behavior here
+    import pytest as _pytest
+
+    for compound in ["高速道路", "長男"]:
+        with _pytest.raises(ValueError, match="reading dictionary"):
+            japanese_to_ipa2(compound, strict=True)
 
 
 def test_mandarin_char_table_coverage():
