@@ -140,6 +140,7 @@ def worker_main(
     max_batch: int = 2,
     heartbeat_timeout_s: float = 8.0,
     round_sleep_s: float = 0.0,
+    die_after_round: int | None = None,
 ) -> None:
     """Process this world's share of the WorkLog's pending requests.
 
@@ -149,6 +150,9 @@ def worker_main(
     all processes enter every collective together.  A heartbeat guards each
     round; on failure the survivor exits EX_TEMPFAIL for the Supervisor to
     relaunch a shrunk world.  Exits 0 only with zero local work left.
+
+    die_after_round: fault injection (SURVEY §5.3) — hard-exit(9) after
+    completing that round, simulating a mid-stream host death.
     """
     from openvoice_tpu.runtime import multihost as MH
     from openvoice_tpu.serve.distributed import DistRequest, DistributedConvertService
@@ -193,6 +197,8 @@ def worker_main(
         outs = svc.convert_round(reqs)
         for i, audio in zip(ids, outs):
             log.mark_done(i, audio)
+        if die_after_round is not None and rnd == die_after_round:
+            os._exit(9)  # injected mid-stream death
         if round_sleep_s:
             time.sleep(round_sleep_s)  # test hook: widen the kill window
     print(f"[elastic worker {process_id}] done ({len(mine)} requests)", flush=True)

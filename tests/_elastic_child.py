@@ -49,6 +49,14 @@ def main() -> None:
     coordinator = None if sys.argv[2] == "none" else sys.argv[2]
     world, pid = int(sys.argv[3]), int(sys.argv[4])
     round_sleep = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
+    # fault injection: "<pid>:<round>:<marker_path>" — that process dies
+    # after that round, on the FIRST attempt only (marker file gates it)
+    die_after = None
+    if len(sys.argv) > 6 and sys.argv[6] != "none":
+        die_pid, die_round, marker = sys.argv[6].split(":", 2)
+        if pid == int(die_pid) and not os.path.exists(marker):
+            open(marker, "w").close()
+            die_after = int(die_round)
 
     from openvoice_tpu.runtime.elastic import worker_main
 
@@ -56,6 +64,7 @@ def main() -> None:
         state_dir, TINY,
         coordinator=coordinator, num_processes=world, process_id=pid,
         max_batch=2, heartbeat_timeout_s=6.0, round_sleep_s=round_sleep,
+        die_after_round=die_after,
     )
 
 

@@ -164,6 +164,42 @@ def test_elastic_kill_one_host_mid_stream(worklog, tmp_path):
         np.testing.assert_allclose(out, truth, atol=2e-5)
 
 
+def test_elastic_three_process_world_shrinks_by_one(worklog, tmp_path):
+    """r4 review regression for the shrink policy: one injected death in a
+    3-process world (which fatally cascades to the peers) must relaunch a
+    TWO-process world — not collapse to 1 — and the shrunk world completes
+    every request with correct outputs.  The whole lifecycle runs under the
+    Supervisor, using worker_main's die_after_round fault injection."""
+    log, params = worklog
+    marker = str(tmp_path / "die.marker")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def cmd(coordinator, world, pid):
+        return [
+            sys.executable, "-m", "tests._elastic_child",
+            str(tmp_path), coordinator or "none", str(world), str(pid),
+            "0.0", f"2:0:{marker}",  # process 2 dies after round 0, once
+        ]
+
+    env = _clean_env()
+    env["PYTHONPATH"] = repo
+    sup = Supervisor(str(tmp_path), cmd, world=3, max_restarts=3, env=env)
+    assert sup.run(timeout_s=500), f"recovery failed: {sup.history}"
+
+    # attempt 1: world 3, process 2 died (rc 9 or -9), peers cascaded;
+    # attempt 2: world 2 (shrunk by ONE), completes
+    assert len(sup.history) >= 2, sup.history
+    assert sup.history[0]["world"] == 3
+    assert any(rc not in (0, EX_TEMPFAIL) for rc in sup.history[0]["rcs"])
+    assert sup.history[1]["world"] == 2, sup.history[1]
+    assert os.path.exists(marker)  # the injection actually fired
+
+    assert not log.pending_ids(N_REQUESTS)
+    reqs = log.load_requests()
+    for i, req in enumerate(reqs):
+        np.testing.assert_allclose(log.load_result(i), _truth(params, req), atol=2e-5)
+
+
 def test_supervisor_full_run_no_failure(worklog, tmp_path):
     """Happy path: a 2-process world completes the whole WorkLog with zero
     restarts; results equal single-process truth."""
