@@ -1,9 +1,9 @@
-"""MP3 decode via the native C++ decoder (native/audio_codec).
+"""MP3 decode/encode via the native C++ codec (native/src/mp3.cc).
 
 The reference decodes mp3 through pydub→ffmpeg (se_extractor.py:9,23) and
-librosa→audioread.  Here decode is a small in-repo C++ library loaded over
-ctypes; if the shared object hasn't been built yet, a clear error points at
-the build step.
+librosa→audioread.  Here the codec is a small in-repo C++ library loaded over
+ctypes (mpg123 decode, lame encode); if the shared object hasn't been built
+yet, a clear error points at the build step.
 """
 
 from __future__ import annotations
@@ -45,6 +45,15 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.ovt_free.argtypes = [ctypes.c_void_p]
+        lib.ovt_mp3_encode.restype = ctypes.c_int
+        lib.ovt_mp3_encode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         _LIB = lib
     return _LIB
 
@@ -66,3 +75,19 @@ def read_mp3(path: str) -> tuple[np.ndarray, int]:
     if n_ch.value > 1:
         arr = arr.reshape(-1, n_ch.value)
     return arr.astype(np.float32), sr.value
+
+
+def write_mp3(path: str, audio: np.ndarray, sr: int, kbps: int = 128) -> None:
+    """Encode float32 samples ([T] mono or [T, C] interleaved, values in
+    [-1, 1]) to a CBR mp3 at `kbps`.  lame's psychoacoustic model runs at
+    quality 2; the encoder never resamples (out_samplerate == sr)."""
+    lib = _load()
+    audio = np.ascontiguousarray(audio, np.float32)
+    frames = audio.shape[0]
+    ch = 1 if audio.ndim == 1 else int(audio.shape[1])
+    rc = lib.ovt_mp3_encode(
+        path.encode(), audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        frames, int(sr), ch, int(kbps),
+    )
+    if rc < 0:
+        raise ValueError(f"mp3 encode failed for {path} (code {rc})")

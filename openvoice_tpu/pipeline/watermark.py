@@ -150,6 +150,47 @@ def _refine_gain(corr: np.ndarray, g0: float) -> float:
     return g
 
 
+def _frac_shift(x: np.ndarray, d: float) -> np.ndarray:
+    """x advanced by a fractional d samples (y[t] = x[t+d]) via an FFT phase
+    ramp.  |d| < 1 in practice, so the circular wrap touches negligible
+    energy.  Codecs that run at a different internal rate (Opus: 48/24 kHz)
+    return their constant pre-skip delay as a NON-integer number of samples
+    at our 22.05 kHz — e.g. 156 samples at 24 kHz = 143.325 here — and a
+    fractional delay is an all-pass whose phase rotation decorrelates the
+    upper carrier band (0.33 samples ≈ 0.56 rad at 6 kHz), so the integer
+    resync alone locks but decodes dirty."""
+    n = len(x)
+    f = np.fft.rfftfreq(n)
+    return np.fft.irfft(np.fft.rfft(x) * np.exp(2j * np.pi * f * d), n).astype(
+        np.float32
+    )
+
+
+def _refine_frac(window: np.ndarray, gain: float) -> tuple[float, float, float]:
+    """Best (frac_offset, gain, residual) over sub-sample shifts of one
+    locked window: coarse 1/8-sample grid, then a 1/32-sample sweep around
+    the coarse winner.  Gain is re-fit at each candidate (a fractional shift
+    slightly re-scales correlations)."""
+    spec = np.fft.rfft(window)
+    f = np.fft.rfftfreq(K)
+    best = (0.0, gain, np.inf)
+    coarse = np.arange(-4, 5) / 8.0
+    for stage in range(2):
+        grid = (
+            coarse
+            if stage == 0
+            else best[0] + np.arange(-3, 4) / 32.0
+        )
+        for d in grid:
+            w = np.fft.irfft(spec * np.exp(2j * np.pi * f * d), K)
+            corr = (_PN @ w).astype(np.float64)
+            g = _refine_gain(corr, best[1])
+            res = _lattice_residual(corr, g)
+            if res < best[2]:
+                best = (float(d), g, res)
+    return best
+
+
 def _resync_window(audio: np.ndarray, win_start: int, max_offset: int,
                    gain_db: float, n_gains: int = 25
                    ) -> tuple[int, float, float] | None:
@@ -177,42 +218,88 @@ def _resync_window(audio: np.ndarray, win_start: int, max_offset: int,
     n_lags = hi - lo + 1
     nfft = 1 << int(np.ceil(np.log2(len(seg) + K)))
     a_f = np.fft.rfft(seg, nfft)
-    p_f = np.fft.rfft(_PN[:, ::-1], nfft, axis=1)
-    # full correlation; c_i(s) = Σ_t seg[(s-lo)+t]·pn_i[t] at index (s-lo)+K-1
-    c_all = np.fft.irfft(a_f[None, :] * p_f, nfft, axis=1)[:, K - 1 : K - 1 + n_lags]
     gains = 10.0 ** (np.linspace(-gain_db, gain_db, n_gains) / 20.0)
-    best = None
-    for g in gains:
-        v = c_all / (g * _DELTA)
-        q = np.round(v).astype(np.int64)
-        res = np.mean(np.abs(v - q), axis=0)  # [n_lags]
-        # two degenerate fits must be rejected before trusting the residual:
-        # (a) all-zero constellation — a mostly-out-of-range window
-        # correlates to ~0 with every carrier and "fits" at any large gain;
-        # (b) all-EVEN constellation — fitting at half the true gain maps
-        # every correlation onto an even multiple (residual ~0, all bits
-        # decode 0).  Legitimate payload windows always carry odd-parity
-        # entries: every 8-bit char row has ≥1 one-bit (col-2 markers on
-        # pad rows, nonzero char codes otherwise), ≥4 per 32-bit window.
-        ok = (np.count_nonzero(q, axis=0) >= 8) & (
-            np.count_nonzero(q & 1, axis=0) >= 2
+    best_res = np.full(n_lags, np.inf)
+    best_gain = np.full(n_lags, 1.0)
+    c0 = None
+    # Three sub-sample-shifted carrier banks (δ = −1/3, 0, +1/3): a
+    # fractionally-delayed lattice (Opus pre-skip at its 24/48 kHz internal
+    # rate = non-integer 22.05 kHz samples) scores only ~0.12-0.15 against
+    # the unshifted bank — INSIDE the false-lock noise floor (~0.13) of a
+    # 32k-lag × 25-gain search, so the true lag doesn't even rank.  With the
+    # banks the worst-case sub-sample mismatch is 1/6 sample (residual
+    # ~0.06), cleanly below the floor.  c_i(s) for bank δ uses carriers
+    # shifted by −δ ≡ window content advanced by +δ.
+    for bank_d in (0.0, -1.0 / 3.0, 1.0 / 3.0):
+        pn = _PN if bank_d == 0.0 else np.stack(
+            [_frac_shift(p, -bank_d) for p in _PN]
         )
-        res = np.where(ok, res, np.inf)
-        i = int(np.argmin(res))
-        if best is None or res[i] < best[2]:
-            best = (lo + i, g, float(res[i]))
-    if best is None or not np.isfinite(best[2]):
+        p_f = np.fft.rfft(pn[:, ::-1], nfft, axis=1)
+        # c_i(s) = Σ_t seg[(s-lo)+t]·pn_i[t] at index (s-lo)+K-1
+        c_all = np.fft.irfft(a_f[None, :] * p_f, nfft, axis=1)[:, K - 1 : K - 1 + n_lags]
+        if bank_d == 0.0:
+            c0 = c_all  # exact-lag correlations for the refine stage below
+        for g in gains:
+            v = c_all / (g * _DELTA)
+            q = np.round(v).astype(np.int64)
+            res = np.mean(np.abs(v - q), axis=0)  # [n_lags]
+            # two degenerate fits must be rejected before trusting the
+            # residual:
+            # (a) all-zero constellation — a mostly-out-of-range window
+            # correlates to ~0 with every carrier and "fits" at any large
+            # gain;
+            # (b) all-EVEN constellation — fitting at half the true gain
+            # maps every correlation onto an even multiple (residual ~0,
+            # all bits decode 0).  Legitimate payload windows always carry
+            # odd-parity entries: every 8-bit char row has ≥1 one-bit
+            # (col-2 markers on pad rows, nonzero char codes otherwise),
+            # ≥4 per 32-bit window.
+            ok = (np.count_nonzero(q, axis=0) >= 8) & (
+                np.count_nonzero(q & 1, axis=0) >= 2
+            )
+            res = np.where(ok, res, np.inf)
+            upd = res < best_res
+            best_res = np.where(upd, res, best_res)
+            best_gain = np.where(upd, g, best_gain)
+    c_all = c0
+    if not np.isfinite(best_res.min()):
         return None
-    off, g, _ = best
-    # refine the gain on the aligned window, then re-score
-    corr = c_all[:, off - lo]
-    g = _refine_gain(corr, g)
-    return off - win_start, g, _lattice_residual(corr, g)
+    # A fractionally-delayed lattice (Opus pre-skip at a non-22.05 kHz
+    # internal rate) scores a DIRTY integer residual (~0.12) that false
+    # locks elsewhere can undercut — so the integer argmin alone picks the
+    # wrong lag.  Frac-refine the few best, mutually-separated integer
+    # candidates and let the refined residual decide.
+    order = np.argsort(best_res)
+    cand_idx: list[int] = []
+    for i in order:
+        if not np.isfinite(best_res[i]) or len(cand_idx) >= 5:
+            break
+        if all(abs(int(i) - j) > 2 for j in cand_idx):
+            cand_idx.append(int(i))
+    best = None  # (abs_off, frac, gain, residual)
+    for i in cand_idx:
+        corr = c_all[:, i]
+        g = _refine_gain(corr, float(best_gain[i]))
+        res = _lattice_residual(corr, g)
+        frac = 0.0
+        if res > 0.02:
+            # sub-sample refinement on this candidate's window
+            window = seg[i : i + K]
+            if len(window) == K:
+                d, g2, res2 = _refine_frac(window, g)
+                if res2 < res:
+                    frac, g, res = d, g2, res2
+        if best is None or res < best[3]:
+            best = (lo + i, frac, g, res)
+        if best[3] < 0.02:
+            break  # clean lattice — worse-ranked candidates can't beat it
+    off, frac, g, res = best
+    return off - win_start, frac, g, res
 
 
 def _resync(audio: np.ndarray, n_repeat: int, max_offset: int,
-            gain_db: float) -> tuple[int, int, float, float] | None:
-    """Best (boundary_pos, legacy_offset, gain, residual) over the
+            gain_db: float) -> tuple[int, int, float, float, float] | None:
+    """Best (boundary_pos, legacy_offset, frac, gain, residual) over the
     message's windows.
 
     Window 0 is tried first; when its lattice fit is poor (e.g. a head cut
@@ -220,15 +307,16 @@ def _resync(audio: np.ndarray, n_repeat: int, max_offset: int,
     shorter than themselves — recover the (boundary, gain) lock.
     boundary_pos is the ABSOLUTE audio position of the locked window start;
     legacy_offset interprets it as belonging to the window searched around
-    (the pre-r4 reading, kept for audio without index carriers)."""
+    (the pre-r4 reading, kept for audio without index carriers); frac is the
+    sub-sample part of the delay (nonzero after e.g. an Opus round trip)."""
     best = None
     for w in range(max(1, n_repeat)):
         win_start = COEFF * w * K
         cand = _resync_window(audio, win_start, max_offset, gain_db)
-        if cand is not None and (best is None or cand[2] < best[2]):
-            off, g, res = cand
-            best = (win_start + off, off, g, res)
-        if best is not None and best[3] < 0.02:
+        if cand is not None and (best is None or cand[3] < best[4]):
+            off, frac, g, res = cand
+            best = (win_start + off, off, frac, g, res)
+        if best is not None and best[4] < 0.02:
             break  # unambiguous lock; skip the remaining FFT searches
     return best
 
@@ -273,9 +361,13 @@ def detect_watermark(
     if sync is None:
         print("Audio too short, fail to detect watermark")
         return "Fail"
-    boundary, legacy_offset, gain, residual = sync
+    boundary, legacy_offset, frac, gain, residual = sync
     if residual >= _RESIDUAL_OK:
         return "Fail"  # no lattice at any (offset, gain): not our watermark
+    if frac != 0.0:
+        # the codec delay is constant over the clip, so one global
+        # sub-sample shift re-aligns every window at once
+        audio = _frac_shift(audio, frac)
     # which absolute slot did we lock onto?  r4 audio tags every slot with
     # its index on the orthogonal index carriers; a clean index lattice
     # disambiguates the rotation a head trim introduces.  Audio without

@@ -174,3 +174,52 @@ def audio_to_tmp_wav(audio: np.ndarray, sr: int) -> str:
     path = os.path.join(_TMPDIR, f"clip_{abs(hash(audio.tobytes())) % 10**8}.wav")
     write_wav(path, audio, sr, subtype="float32")
     return path
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(RESOURCES, "demo_speaker0.mp3")),
+    reason="reference demo resources not present",
+)
+def test_watermark_survives_mp3_64k_on_real_speech(tmp_path):
+    """Real speech (the bundled demo clip) watermarked, re-encoded with a
+    REAL lame codec at 64 kbps CBR, decoded, detected.  Speech is the
+    codec's easy case (the psychoacoustic model keeps the 300-6000 Hz band
+    nearly intact), so survival extends below the 96 kbps broadband-noise
+    limit measured in test_pipeline.py — the wavmark lossy-robustness bar
+    (reference api.py:105-109)."""
+    from openvoice_tpu.audio import load_audio, native
+    from openvoice_tpu.pipeline import watermark as wm
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    from openvoice_tpu.audio.mp3 import read_mp3, write_mp3
+
+    x, _ = load_audio(os.path.join(RESOURCES, "demo_speaker0.mp3"), sr=22050)
+    x = np.asarray(x, np.float32)
+    marked = wm.add_watermark(x, "@MyShell")
+    p = str(tmp_path / "wm64.mp3")
+    write_mp3(p, marked, 22050, kbps=64)
+    y, sr = read_mp3(p)
+    assert sr == 22050
+    assert wm.detect_watermark(np.asarray(y, np.float32), 2) == "@MyShell"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(RESOURCES, "demo_speaker0.mp3")),
+    reason="reference demo resources not present",
+)
+def test_watermark_survives_opus_64k_on_real_speech():
+    """Real speech through a real Opus codec at 64 kbps (incl. the
+    22.05↔24 kHz resample pair Opus mandates and its fractional-sample
+    pre-skip).  Below ~48 kbps CELT replaces the in-band fine structure
+    entirely (~15/32 bit errors = chance) — the physical floor for any
+    waveform-correlation watermark; limits in docs/QA.md."""
+    from openvoice_tpu.audio import load_audio, opus
+    from openvoice_tpu.pipeline import watermark as wm
+
+    if not opus.available():
+        pytest.skip("libopus not available")
+    x, _ = load_audio(os.path.join(RESOURCES, "demo_speaker0.mp3"), sr=22050)
+    marked = wm.add_watermark(np.asarray(x, np.float32), "@MyShell")
+    decoded = opus.opus_roundtrip(marked, 22050, kbps=64)
+    assert wm.detect_watermark(decoded, 2) == "@MyShell"

@@ -128,3 +128,40 @@ def test_mp3_reports_unsupported_cleanly():
                 raise ValueError(f"mp3 decode failed cleanly ({rc})")
         finally:
             os.unlink(path)
+
+
+def test_mp3_encode_decode_roundtrip(tmp_path):
+    """lame encode → mpg123 decode: length bounded by codec delay/flush
+    padding, and the tone's spectral peak is preserved at 128 kbps."""
+    from openvoice_tpu.audio.mp3 import read_mp3, write_mp3
+
+    sr = 22050
+    t = np.arange(3 * sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 220 * t) + 0.1 * np.sin(2 * np.pi * 880 * t)).astype(
+        np.float32
+    )
+    p = str(tmp_path / "rt.mp3")
+    write_mp3(p, x, sr, kbps=128)
+    y, sr2 = read_mp3(p)
+    assert sr2 == sr
+    # decoder output = input + encoder delay + flush padding (< 4608 = 4 granules)
+    assert len(x) <= len(y) <= len(x) + 4608
+    assert abs(float(np.sqrt((y**2).mean())) - float(np.sqrt((x**2).mean()))) < 0.02
+    spec = np.abs(np.fft.rfft(y[: 2 * sr]))
+    freqs = np.fft.rfftfreq(2 * sr, 1.0 / sr)
+    peak = freqs[int(np.argmax(spec))]
+    assert abs(peak - 220.0) < 2.0
+
+
+def test_mp3_encode_stereo_and_bad_args(tmp_path):
+    from openvoice_tpu.audio.mp3 import read_mp3, write_mp3
+
+    sr = 22050
+    rng = np.random.default_rng(0)
+    x = np.clip(rng.standard_normal((sr, 2)) * 0.1, -1, 1).astype(np.float32)
+    p = str(tmp_path / "st.mp3")
+    write_mp3(p, x, sr, kbps=96)
+    y, sr2 = read_mp3(p)
+    assert sr2 == sr and y.ndim == 2 and y.shape[1] == 2
+    with pytest.raises(ValueError):
+        write_mp3(str(tmp_path / "bad.mp3"), x, sr, kbps=-5)
