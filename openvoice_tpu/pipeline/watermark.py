@@ -21,8 +21,12 @@ additive white noise (which induces N(0, 1e-2) correlation noise on a
 unit-norm carrier), three orders above PCM16 quantization noise, and far
 above the ≈2e-4 correlation error of a 22.05 k→16 k→22.05 k resample
 round-trip on band-limited carriers.  Embedding distortion is ≈ −55 dBFS
-rms, confined to the speech band where it is masked.  Measured survival
-limits live in docs/QA.md; tests/test_pipeline.py enforces them.
+rms, confined to the speech band where it is masked — which is also why
+REAL lossy codecs keep it: measured with in-repo lame/libopus round trips,
+the mark survives mp3 and Opus at ≥96 kbps on broadband hosts and 64 kbps
+on real speech (Opus needs the sub-sample resync below: its pre-skip is a
+constant fractional 22.05 kHz offset).  Measured survival limits live in
+docs/QA.md; tests/test_pipeline.py + tests/test_fullsize.py enforce them.
 Provenance marking, not cryptography.
 """
 
