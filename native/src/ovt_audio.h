@@ -23,9 +23,15 @@ int64_t ovt_wav_read(const char* path, float** out, int* sample_rate, int* chann
 int64_t ovt_wav_write(const char* path, const float* data, int64_t frames,
                       int sample_rate, int channels);
 
-// ---- MP3 decode ------------------------------------------------------------
-// Returns frame count or negative error code (-1 io, -2 format, -3 unsupported).
+// ---- MP3 codec -------------------------------------------------------------
+// Returns frame count or negative error code (-1 io, -2 format, -3 engine
+// unavailable: libmpg123 missing).
 int64_t ovt_mp3_decode(const char* path, float** out, int* sample_rate, int* channels);
+// Encode interleaved float32 ([-1, 1]) to a CBR mp3 at `kbps`.  Returns 0 or
+// negative error code (-1 io, -2 bad args / encode error / unsupported
+// rate-bitrate combination, -3 engine unavailable: libmp3lame missing).
+int ovt_mp3_encode(const char* path, const float* samples, int64_t frames,
+                   int sample_rate, int channels, int kbps);
 
 // ---- resampler -------------------------------------------------------------
 // Kaiser-windowed polyphase resampler, mono float32.

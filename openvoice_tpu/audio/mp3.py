@@ -45,15 +45,16 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.ovt_free.argtypes = [ctypes.c_void_p]
-        lib.ovt_mp3_encode.restype = ctypes.c_int
-        lib.ovt_mp3_encode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,
-        ]
+        if hasattr(lib, "ovt_mp3_encode"):
+            lib.ovt_mp3_encode.restype = ctypes.c_int
+            lib.ovt_mp3_encode.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
         _LIB = lib
     return _LIB
 
@@ -77,11 +78,50 @@ def read_mp3(path: str) -> tuple[np.ndarray, int]:
     return arr.astype(np.float32), sr.value
 
 
+_ENCODER_OK: bool | None = None
+
+
+def encoder_available() -> bool:
+    """True when both the native lib exports ovt_mp3_encode (rebuilt after
+    it landed) AND the system libmp3lame resolves at runtime (probed with a
+    one-frame encode — the -3 'engine unavailable' path otherwise)."""
+    global _ENCODER_OK
+    if _ENCODER_OK is None:
+        import os
+        import tempfile
+
+        try:
+            lib = _load()
+            if not hasattr(lib, "ovt_mp3_encode"):
+                _ENCODER_OK = False
+            else:
+                probe = np.zeros(1152, np.float32)
+                fd, path = tempfile.mkstemp(suffix=".mp3")
+                os.close(fd)
+                try:
+                    rc = lib.ovt_mp3_encode(
+                        path.encode(),
+                        probe.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        len(probe), 22050, 1, 128,
+                    )
+                    _ENCODER_OK = rc == 0
+                finally:
+                    os.unlink(path)
+        except (RuntimeError, OSError):
+            _ENCODER_OK = False
+    return _ENCODER_OK
+
+
 def write_mp3(path: str, audio: np.ndarray, sr: int, kbps: int = 128) -> None:
     """Encode float32 samples ([T] mono or [T, C] interleaved, values in
     [-1, 1]) to a CBR mp3 at `kbps`.  lame's psychoacoustic model runs at
     quality 2; the encoder never resamples (out_samplerate == sr)."""
     lib = _load()
+    if not hasattr(lib, "ovt_mp3_encode"):
+        raise RuntimeError(
+            "native audio lib predates the mp3 encoder; rebuild with "
+            "`cmake --build native/build`"
+        )
     audio = np.ascontiguousarray(audio, np.float32)
     frames = audio.shape[0]
     ch = 1 if audio.ndim == 1 else int(audio.shape[1])

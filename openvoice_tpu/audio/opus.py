@@ -17,7 +17,6 @@ Opus codec (reference wavmark robustness bar, api.py:105-109).
 from __future__ import annotations
 
 import ctypes
-import ctypes.util
 
 import numpy as np
 
@@ -98,7 +97,11 @@ def opus_roundtrip(audio: np.ndarray, sr: int, kbps: int = 32) -> np.ndarray:
         lib.opus_encoder_destroy(enc)
         raise RuntimeError(f"opus_decoder_create failed ({err.value})")
     try:
-        lib.opus_encoder_ctl(enc, _OPUS_SET_BITRATE_REQUEST, kbps * 1000)
+        rc = lib.opus_encoder_ctl(enc, _OPUS_SET_BITRATE_REQUEST, kbps * 1000)
+        if rc != 0:
+            # a silently-ignored failure here would make every kbps-specific
+            # robustness measurement measure the DEFAULT bitrate instead
+            raise RuntimeError(f"OPUS_SET_BITRATE({kbps} kbps) failed ({rc})")
         frame = opus_sr // 50  # 20 ms
         n_frames = (len(work) + frame - 1) // frame
         padded = np.zeros(n_frames * frame, np.float32)

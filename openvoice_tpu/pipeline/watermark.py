@@ -170,14 +170,17 @@ def _frac_shift(x: np.ndarray, d: float) -> np.ndarray:
     )
 
 
-def _refine_frac(window: np.ndarray, gain: float) -> tuple[float, float, float]:
-    """Best (frac_offset, gain, residual) over sub-sample shifts of one
-    locked window: coarse 1/8-sample grid, then a 1/32-sample sweep around
-    the coarse winner.  Gain is re-fit at each candidate (a fractional shift
-    slightly re-scales correlations)."""
+def _refine_frac(
+    window: np.ndarray, gain: float
+) -> tuple[float, float, float, np.ndarray]:
+    """Best (frac_offset, gain, residual, correlations) over sub-sample
+    shifts of one locked window: coarse 1/8-sample grid, then a 1/32-sample
+    sweep around the coarse winner.  Gain is re-fit at each candidate (a
+    fractional shift slightly re-scales correlations)."""
     spec = np.fft.rfft(window)
     f = np.fft.rfftfreq(K)
-    best = (0.0, gain, np.inf)
+    corr0 = (_PN @ window).astype(np.float64)
+    best = (0.0, gain, np.inf, corr0)
     coarse = np.arange(-4, 5) / 8.0
     for stage in range(2):
         grid = (
@@ -191,8 +194,31 @@ def _refine_frac(window: np.ndarray, gain: float) -> tuple[float, float, float]:
             g = _refine_gain(corr, best[1])
             res = _lattice_residual(corr, g)
             if res < best[2]:
-                best = (float(d), g, res)
+                best = (float(d), g, res, corr)
     return best
+
+
+def _constellation_ok(corr: np.ndarray, gain: float) -> bool:
+    """The degenerate-fit guards of the integer search (all-zero and
+    all-even constellations — see _resync_window), applied to one refined
+    candidate so a collapsed fit can't outrank the true lag."""
+    q = np.round(corr / (gain * _DELTA)).astype(np.int64)
+    return np.count_nonzero(q) >= 8 and np.count_nonzero(q & 1) >= 2
+
+
+_BANKS: list[tuple[float, np.ndarray]] | None = None
+
+
+def _carrier_banks() -> list[tuple[float, np.ndarray]]:
+    """[(δ, carriers shifted by −δ)] for δ ∈ {0, −1/3, +1/3} — deterministic
+    constants, built once (64 FFTs) and cached."""
+    global _BANKS
+    if _BANKS is None:
+        _BANKS = [(0.0, _PN)] + [
+            (d, np.stack([_frac_shift(p, -d) for p in _PN]))
+            for d in (-1.0 / 3.0, 1.0 / 3.0)
+        ]
+    return _BANKS
 
 
 def _resync_window(audio: np.ndarray, win_start: int, max_offset: int,
@@ -234,10 +260,7 @@ def _resync_window(audio: np.ndarray, win_start: int, max_offset: int,
     # banks the worst-case sub-sample mismatch is 1/6 sample (residual
     # ~0.06), cleanly below the floor.  c_i(s) for bank δ uses carriers
     # shifted by −δ ≡ window content advanced by +δ.
-    for bank_d in (0.0, -1.0 / 3.0, 1.0 / 3.0):
-        pn = _PN if bank_d == 0.0 else np.stack(
-            [_frac_shift(p, -bank_d) for p in _PN]
-        )
+    for bank_d, pn in _carrier_banks():
         p_f = np.fft.rfft(pn[:, ::-1], nfft, axis=1)
         # c_i(s) = Σ_t seg[(s-lo)+t]·pn_i[t] at index (s-lo)+K-1
         c_all = np.fft.irfft(a_f[None, :] * p_f, nfft, axis=1)[:, K - 1 : K - 1 + n_lags]
@@ -282,7 +305,7 @@ def _resync_window(audio: np.ndarray, win_start: int, max_offset: int,
             cand_idx.append(int(i))
     best = None  # (abs_off, frac, gain, residual)
     for i in cand_idx:
-        corr = c_all[:, i]
+        corr = c_all[:, i].astype(np.float64)
         g = _refine_gain(corr, float(best_gain[i]))
         res = _lattice_residual(corr, g)
         frac = 0.0
@@ -290,13 +313,20 @@ def _resync_window(audio: np.ndarray, win_start: int, max_offset: int,
             # sub-sample refinement on this candidate's window
             window = seg[i : i + K]
             if len(window) == K:
-                d, g2, res2 = _refine_frac(window, g)
+                d, g2, res2, corr2 = _refine_frac(window, g)
                 if res2 < res:
-                    frac, g, res = d, g2, res2
+                    frac, g, res, corr = d, g2, res2, corr2
+        # re-apply the degenerate-constellation guards AFTER refinement:
+        # the LS gain fit / frac sweep can collapse onto an all-even or
+        # near-zero constellation that scores a spuriously clean residual
+        if not _constellation_ok(corr, g):
+            continue
         if best is None or res < best[3]:
             best = (lo + i, frac, g, res)
         if best[3] < 0.02:
             break  # clean lattice — worse-ranked candidates can't beat it
+    if best is None:
+        return None
     off, frac, g, res = best
     return off - win_start, frac, g, res
 

@@ -192,8 +192,10 @@ def test_watermark_survives_mp3_64k_on_real_speech(tmp_path):
 
     if not native.available():
         pytest.skip("native lib not built")
-    from openvoice_tpu.audio.mp3 import read_mp3, write_mp3
+    from openvoice_tpu.audio.mp3 import encoder_available, read_mp3, write_mp3
 
+    if not encoder_available():
+        pytest.skip("libmp3lame not available")
     x, _ = load_audio(os.path.join(RESOURCES, "demo_speaker0.mp3"), sr=22050)
     x = np.asarray(x, np.float32)
     marked = wm.add_watermark(x, "@MyShell")
@@ -214,11 +216,13 @@ def test_watermark_survives_opus_64k_on_real_speech():
     pre-skip).  Below ~48 kbps CELT replaces the in-band fine structure
     entirely (~15/32 bit errors = chance) — the physical floor for any
     waveform-correlation watermark; limits in docs/QA.md."""
-    from openvoice_tpu.audio import load_audio, opus
+    from openvoice_tpu.audio import load_audio, native, opus
     from openvoice_tpu.pipeline import watermark as wm
 
     if not opus.available():
         pytest.skip("libopus not available")
+    if not native.available():
+        pytest.skip("native lib not built (mp3 decode of the demo clip)")
     x, _ = load_audio(os.path.join(RESOURCES, "demo_speaker0.mp3"), sr=22050)
     marked = wm.add_watermark(np.asarray(x, np.float32), "@MyShell")
     decoded = opus.opus_roundtrip(marked, 22050, kbps=64)

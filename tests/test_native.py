@@ -133,7 +133,10 @@ def test_mp3_reports_unsupported_cleanly():
 def test_mp3_encode_decode_roundtrip(tmp_path):
     """lame encode → mpg123 decode: length bounded by codec delay/flush
     padding, and the tone's spectral peak is preserved at 128 kbps."""
-    from openvoice_tpu.audio.mp3 import read_mp3, write_mp3
+    from openvoice_tpu.audio.mp3 import encoder_available, read_mp3, write_mp3
+
+    if not encoder_available():
+        pytest.skip("libmp3lame not available")
 
     sr = 22050
     t = np.arange(3 * sr) / sr
@@ -154,7 +157,10 @@ def test_mp3_encode_decode_roundtrip(tmp_path):
 
 
 def test_mp3_encode_stereo_and_bad_args(tmp_path):
-    from openvoice_tpu.audio.mp3 import read_mp3, write_mp3
+    from openvoice_tpu.audio.mp3 import encoder_available, read_mp3, write_mp3
+
+    if not encoder_available():
+        pytest.skip("libmp3lame not available")
 
     sr = 22050
     rng = np.random.default_rng(0)

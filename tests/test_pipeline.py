@@ -176,8 +176,10 @@ def _mp3_roundtrip(audio: np.ndarray, kbps: int, tmp_path) -> np.ndarray:
 
     if not native.available():
         pytest.skip("native lib not built")
-    from openvoice_tpu.audio.mp3 import read_mp3, write_mp3
+    from openvoice_tpu.audio.mp3 import encoder_available, read_mp3, write_mp3
 
+    if not encoder_available():
+        pytest.skip("libmp3lame not available")
     p = str(tmp_path / f"wm_{kbps}.mp3")
     write_mp3(p, audio, 22050, kbps=kbps)
     y, sr = read_mp3(p)
