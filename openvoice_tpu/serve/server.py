@@ -10,6 +10,10 @@ Endpoints:
   GET  /healthz   liveness
   GET  /metrics   JSON metrics snapshot (latency, RTF, audio-seconds)
 
+Audio-bearing responses take an optional `format`: "f32" (default, exact),
+"pcm16", "wav", or "mp3" (+ optional `kbps`, in-repo lame encoder); unknown
+formats / absent encoder are 400s.
+
 Error handling mirrors the app's [ERROR] strings (openvoice_app.py:42-120)
 with structured codes; every request is isolated (SURVEY.md §5.3).
 """
@@ -61,6 +65,58 @@ class VoiceService:
         if self.converter.enable_watermark:
             out = self.converter.add_watermark(out, "default")
         return out
+
+
+_FORMATS = ("f32", "pcm16", "wav", "mp3")
+
+
+def encode_response_audio(out: np.ndarray, sr: int, fmt: str, kbps: int = 128) -> dict:
+    """Audio payload for a JSON response in the requested wire format.
+
+    f32 (default, exact), pcm16 (2 bytes/sample), wav (PCM16 container), or
+    mp3 (lossy, `kbps` CBR via the in-repo lame encoder — raises a clear
+    ValueError when the encoder isn't built/present, mapped to a 400).
+    The reference app hands Gradio a (sr, ndarray) tuple and lets the UI
+    encode (openvoice_app.py:141); here the wire format is explicit."""
+    out = np.asarray(out, np.float32)
+    if fmt == "f32":
+        return {"encoding": "f32", "audio_b64": base64.b64encode(out.tobytes()).decode()}
+    if fmt == "pcm16":
+        pcm = (np.clip(out, -1.0, 1.0) * 32767.0).astype(np.int16)
+        return {"encoding": "pcm16", "audio_b64": base64.b64encode(pcm.tobytes()).decode()}
+    import os
+    import tempfile
+
+    if fmt == "wav":
+        from openvoice_tpu.audio.io import write_wav
+
+        fd, path = tempfile.mkstemp(suffix=".wav")
+        os.close(fd)
+        try:
+            write_wav(path, out, sr)
+            with open(path, "rb") as f:
+                blob = f.read()
+        finally:
+            os.unlink(path)
+        return {"encoding": "wav", "audio_b64": base64.b64encode(blob).decode()}
+    if fmt == "mp3":
+        from openvoice_tpu.audio.mp3 import encoder_available, write_mp3
+
+        if not encoder_available():
+            raise ValueError(
+                "[ERROR] mp3 output unavailable: native encoder not built "
+                "(cmake --build native/build) or libmp3lame missing"
+            )
+        fd, path = tempfile.mkstemp(suffix=".mp3")
+        os.close(fd)
+        try:
+            write_mp3(path, out, sr, kbps=kbps)
+            with open(path, "rb") as f:
+                blob = f.read()
+        finally:
+            os.unlink(path)
+        return {"encoding": "mp3", "kbps": kbps, "audio_b64": base64.b64encode(blob).decode()}
+    raise ValueError(f"[ERROR] unknown format {fmt!r}: expected one of {_FORMATS}")
 
 
 def _guard_text(text: str) -> str | None:
@@ -117,6 +173,22 @@ def make_handler(service: VoiceService):
                 METRICS.add("request_failures")
                 self._json(500, {"error": f"[ERROR] {exc}"})
 
+        def _send_audio(self, req, out: np.ndarray, sr: int) -> None:
+            """200 with the audio in the requested wire format, or a 400
+            for an unknown format / unavailable encoder."""
+            fmt = req.get("format", "f32")
+            try:
+                payload = encode_response_audio(
+                    out, sr, fmt, kbps=int(req.get("kbps", 128))
+                )
+            except ValueError as exc:
+                self._json(400, {"error": str(exc)})
+                return
+            self._json(
+                200,
+                {"sample_rate": sr, "num_samples": int(out.shape[0]), **payload},
+            )
+
         def _load_request_audio(self, req) -> np.ndarray:
             from openvoice_tpu.audio.io import load_audio
 
@@ -160,14 +232,8 @@ def make_handler(service: VoiceService):
                 audio, src_se, tgt_se, tau=float(req.get("tau", 0.3)),
                 seed=int(req.get("seed", 0)),
             )
-            self._json(
-                200,
-                {
-                    "sample_rate": service.converter.cfg.sampling_rate,
-                    "audio_b64": base64.b64encode(out.astype(np.float32).tobytes()).decode(),
-                    "num_samples": int(out.shape[0]),
-                },
-            )
+            self._send_audio(req, np.asarray(out, np.float32),
+                             service.converter.cfg.sampling_rate)
 
         def _clone(self, req) -> None:
             """The full text→cloned-audio chain through the fused dispatches
@@ -227,14 +293,7 @@ def make_handler(service: VoiceService):
             sr = service.converter.cfg.sampling_rate
             METRICS.add("audio_seconds", len(out) / sr)
             METRICS.observe("request_latency", _time.perf_counter() - t0)
-            self._json(
-                200,
-                {
-                    "sample_rate": sr,
-                    "audio_b64": base64.b64encode(out.astype(np.float32).tobytes()).decode(),
-                    "num_samples": int(out.shape[0]),
-                },
-            )
+            self._send_audio(req, np.asarray(out, np.float32), sr)
 
         def _tts(self, req) -> None:
             if service.tts_model is None:
@@ -251,14 +310,8 @@ def make_handler(service: VoiceService):
                 language=req.get("language", "English"),
                 speed=float(req.get("speed", 1.0)),
             )
-            self._json(
-                200,
-                {
-                    "sample_rate": service.tts_model.cfg.sampling_rate,
-                    "audio_b64": base64.b64encode(audio.astype(np.float32).tobytes()).decode(),
-                    "num_samples": int(audio.shape[0]),
-                },
-            )
+            self._send_audio(req, np.asarray(audio, np.float32),
+                             service.tts_model.cfg.sampling_rate)
 
     return Handler
 

@@ -162,3 +162,51 @@ def test_metrics_endpoint(server):
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
         snap = json.loads(r.read())
     assert "counters" in snap
+
+
+def test_tts_response_formats(server, tmp_path):
+    """The `format` field selects the wire encoding: f32 (default), pcm16,
+    wav container, mp3 (in-repo lame encoder).  All four carry the same
+    audio; unknown formats and unavailable encoders are 400s, not 500s."""
+    port, svc = server
+    body = {"text": "hello there my friend"}
+    code, f32 = _post(port, "/tts", body)
+    assert code == 200 and f32.get("encoding", "f32") == "f32"
+    ref = np.frombuffer(base64.b64decode(f32["audio_b64"]), np.float32)
+
+    code, pcm = _post(port, "/tts", dict(body, format="pcm16"))
+    assert code == 200 and pcm["encoding"] == "pcm16"
+    pcm_arr = np.frombuffer(base64.b64decode(pcm["audio_b64"]), np.int16)
+    assert pcm_arr.shape == ref.shape
+    np.testing.assert_allclose(pcm_arr / 32767.0, ref, atol=1.5 / 32767.0)
+
+    code, wav = _post(port, "/tts", dict(body, format="wav"))
+    assert code == 200 and wav["encoding"] == "wav"
+    p = tmp_path / "resp.wav"
+    p.write_bytes(base64.b64decode(wav["audio_b64"]))
+    from openvoice_tpu.audio.io import read_wav
+
+    wav_arr, sr = read_wav(str(p))
+    assert sr == wav["sample_rate"] and wav_arr.shape == ref.shape
+
+    code, resp = _post(port, "/tts", dict(body, format="flac"))
+    assert code == 400 and "unknown format" in resp["error"]
+
+
+def test_tts_response_mp3(server, tmp_path):
+    from openvoice_tpu.audio import native
+    from openvoice_tpu.audio.mp3 import encoder_available
+
+    if not (native.available() and encoder_available()):
+        pytest.skip("mp3 encoder not available")
+    port, svc = server
+    code, resp = _post(port, "/tts", {"text": "hello there my friend", "format": "mp3", "kbps": 96})
+    assert code == 200 and resp["encoding"] == "mp3" and resp["kbps"] == 96
+    p = tmp_path / "resp.mp3"
+    p.write_bytes(base64.b64decode(resp["audio_b64"]))
+    from openvoice_tpu.audio.mp3 import read_mp3
+
+    arr, sr = read_mp3(str(p))
+    assert sr == resp["sample_rate"]
+    # decoder output = samples + codec delay/flush padding
+    assert resp["num_samples"] <= len(arr) <= resp["num_samples"] + 4608
