@@ -355,6 +355,51 @@ def test_english_proper_noun_probe():
     assert not missing, missing
     assert lexicon_pron("kyrgyzstan") == "ˌkɪrgɪˈstɑn"
     assert lexicon_pron("beijing") == "ˌbeɪˈʒɪŋ"
+
+
+def test_english_long_tail_probe():
+    """r4 close-out block (_RAW8_LONGTAIL): remaining countries, world
+    capitals, irregular given names, prescription drugs, tech vocabulary,
+    and irregular-orthography words — all must resolve via the lexicon (the
+    rule engine audibly mangles them: sean->sin, jose->djoz, colonel with a
+    spelled l), and every pronunciation must tokenize into the checkpoint's
+    87-symbol inventory without drops."""
+    from openvoice_tpu.text import cleaned_text_to_sequence, default_symbols
+    from openvoice_tpu.text.english import english_to_ipa2, lexicon_pron
+
+    probe = (
+        "azerbaijan tajikistan turkmenistan botswana suriname vanuatu monaco "
+        "liechtenstein montenegro moldova belarus bosnia kosovo seychelles "
+        "maldives bhutan brunei oman bahrain fiji samoa tonga "
+        "reykjavik bucharest belgrade johannesburg casablanca tehran baghdad "
+        "damascus riyadh ankara kyiv minsk tbilisi hanoi dhaka karachi "
+        "kathmandu khartoum algiers kinshasa caracas bogota montevideo "
+        "sarajevo wellington canberra ottawa geneva zurich munich hamburg "
+        "frankfurt cologne marseille naples florence venice seville krakow "
+        "sean siobhan joaquin xavier jose juan jorge miguel javier nguyen "
+        "sinead seamus geoffrey stephen graham phoebe chloe zoe isla "
+        "acetaminophen amoxicillin metformin omeprazole atorvastatin "
+        "lisinopril albuterol prednisone warfarin oxycodone melatonin "
+        "serotonin dopamine "
+        "algorithm algorithms kubernetes blockchain bandwidth gigabyte "
+        "megabyte terabyte kilobyte neural wifi email cache suite queue "
+        "genre colonel yacht debris epitome hyperbole segue niche facade "
+        "rendezvous entrepreneur bourgeois choir chasm indict awry quinoa"
+    ).split()
+    missing = [w for w in probe if lexicon_pron(w) is None]
+    assert not missing, missing
+    # the irregular orthography the rules cannot derive
+    assert lexicon_pron("sean") == "\u0283\u0254n"
+    assert lexicon_pron("colonel") == "\u02c8k\u0259rn\u0259l"
+    assert lexicon_pron("queue") == "kju"
+    # every pronunciation survives IPA2 + tokenization without drops
+    inventory = set(default_symbols)
+    for w in probe:
+        ipa2 = english_to_ipa2(w)
+        extra = set(ipa2) - inventory
+        assert not extra, (w, ipa2, extra)
+        ids = cleaned_text_to_sequence(ipa2, default_symbols)
+        assert len(ids) == len(ipa2), (w, ipa2)
     assert lexicon_pron("rodriguez") == "rɑˈdrigɛz"
     assert lexicon_pron("ibuprofen") == "ˌaɪbjuˈproʊfən"
     # morphology composes with proper nouns too
