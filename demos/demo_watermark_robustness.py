@@ -108,6 +108,24 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         abuses.append((f"REAL Opus (error: {exc})", None))
 
+    try:
+        from openvoice_tpu.audio import ogg
+
+        if ogg.available():
+            import tempfile
+
+            for q in (0.4, 0.0):
+                fd, path = tempfile.mkstemp(suffix=".ogg")
+                os.close(fd)
+                ogg.write_ogg(path, marked, SR, quality=q)
+                y, _ = ogg.read_ogg(path)
+                os.unlink(path)
+                abuses.append((f"REAL Ogg/Vorbis q{q}", np.asarray(y, np.float32)))
+        else:
+            abuses.append(("REAL Ogg/Vorbis (libs missing)", None))
+    except Exception as exc:  # noqa: BLE001
+        abuses.append((f"REAL Ogg/Vorbis (error: {exc})", None))
+
     # combination chain: mp3 + re-gain + PCM16 + pad
     try:
         from openvoice_tpu.audio.mp3 import encoder_available, read_mp3, write_mp3

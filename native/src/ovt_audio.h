@@ -33,6 +33,17 @@ int64_t ovt_mp3_decode(const char* path, float** out, int* sample_rate, int* cha
 int ovt_mp3_encode(const char* path, const float* samples, int64_t frames,
                    int sample_rate, int channels, int kbps);
 
+// ---- Ogg/Vorbis codec ------------------------------------------------------
+// Returns frame count or negative error code (-1 open/not-vorbis, -2 format,
+// -3 engine unavailable: libvorbisfile missing).
+int64_t ovt_ogg_decode(const char* path, float** out, int* sample_rate, int* channels);
+// Encode interleaved float32 ([-1, 1]) to Ogg/Vorbis at VBR `quality` in
+// [-0.1, 1.0] (0.4 ≈ 128 kbps stereo).  Returns 0 or negative error code
+// (-1 io, -2 bad args / encode error, -3 engines unavailable:
+// libogg/libvorbis/libvorbisenc missing).
+int ovt_ogg_encode(const char* path, const float* samples, int64_t frames,
+                   int sample_rate, int channels, float quality);
+
 // ---- resampler -------------------------------------------------------------
 // Kaiser-windowed polyphase resampler, mono float32.
 // Returns output length or negative error code.

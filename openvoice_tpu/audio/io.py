@@ -197,13 +197,18 @@ def _resample_poly_np(x: np.ndarray, up: int, down: int) -> np.ndarray:
 def load_audio(path: str, sr: int | None = None, mono: bool = True) -> tuple[np.ndarray, int]:
     """librosa.load-compatible entry: decode → mono mixdown → resample.
 
-    Supports .wav natively; .mp3 via the native decoder if built.
+    Supports .wav natively; .mp3 and .ogg/.oga via the native codecs if
+    built (mpg123 / libvorbisfile behind the in-repo C ABI).
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".mp3":
         from openvoice_tpu.audio.mp3 import read_mp3
 
         audio, file_sr = read_mp3(path)
+    elif ext in (".ogg", ".oga"):
+        from openvoice_tpu.audio.ogg import read_ogg
+
+        audio, file_sr = read_ogg(path)
     else:
         audio, file_sr = read_wav(path)
     if mono and audio.ndim > 1:

@@ -133,6 +133,15 @@ def add_watermark(audio: np.ndarray, message: str) -> np.ndarray:
 # (uniform); measured watermarked-after-abuse residuals stay under 0.06.
 _RESIDUAL_OK = 0.10
 
+# Gray zone: a lattice blurred by IN-BAND codec noise (Vorbis noise-fill,
+# low-rate mp3) sits at 0.10-0.18 — still ≥5σ below the 0.25 chance level
+# for a SINGLE un-searched test (σ ≈ 0.072/√32 per window), but unreliable
+# bit-by-bit.  The gray path soft-combines QIM log-likelihoods across all
+# cyclic slot copies (σ shrinks √copies) at TRIVIAL alignment only; the
+# searched resync keeps the strict 0.10 bar because its ~10⁶ candidate
+# draws produce false locks at 0.13-0.15 (measured, opus diagnostics).
+_RESIDUAL_GRAY = 0.20
+
 
 def _lattice_residual(corr: np.ndarray, gain: float) -> float:
     """Mean distance of corr/(gain·Δ) to the nearest lattice point (any
@@ -391,6 +400,20 @@ def detect_watermark(
         return strict[0]
     if not robust:
         return "Fail" if strict is None else strict[0]
+    if strict is not None and strict[1] < _RESIDUAL_GRAY:
+        # lattice present but blurred by in-band codec noise at trivial
+        # alignment: soft-combine across all cyclic copies (see
+        # _RESIDUAL_GRAY above); gain is re-fit from slot 0 first so a
+        # moderate re-gain composed with the codec still lands here
+        g0 = 1.0
+        if len(audio) >= K:
+            corr0 = (_PN @ audio[:K]).astype(np.float64)
+            g = _refine_gain(corr0, 1.0)
+            if 0.5 <= g <= 2.0 and _constellation_ok(corr0, g):
+                g0 = g
+        soft = _soft_decode_windows(audio, n_repeat, 0, g0)
+        if soft is not None and soft[1] < _RESIDUAL_GRAY:
+            return soft[0]
     sync = _resync(audio, n_repeat, max_offset, gain_db)
     if sync is None:
         print("Audio too short, fail to detect watermark")
@@ -419,6 +442,49 @@ def detect_watermark(
         print("Audio too short, fail to detect watermark")
         return "Fail"
     return decoded[0]
+
+
+def _soft_decode_windows(
+    audio: np.ndarray, n_repeat: int, offset: int, gain: float
+) -> tuple[str, float] | None:
+    """Soft-decision cyclic decode: per message window, sum the QIM parity
+    log-likelihood (1 − 2·|frac dev|, signed by the constellation parity)
+    over every usable slot copy, so bit noise shrinks with √copies instead
+    of riding a single best copy.  Returns (message, mean residual over the
+    copies actually combined) or None when a window has no usable copy.
+    Copies at chance level (res ≥ 0.23) or with degenerate constellations
+    are excluded from both the vote and the acceptance statistic."""
+    rows, all_res = [], []
+    n_slots_total = max(1, (len(audio) - min(0, offset)) // (COEFF * K) + 2)
+    for n in range(n_repeat):
+        llr = np.zeros(BITS_PER_WINDOW)
+        used = 0
+        for m in range(n, n_slots_total, n_repeat):
+            start = (COEFF * m) * K + offset
+            if start + K <= 0:
+                continue
+            if start >= len(audio):
+                break
+            chunk = _window_at(audio, start)
+            if chunk is None:
+                continue
+            corr = (_PN @ chunk).astype(np.float64) / gain
+            v = corr / _DELTA
+            q = np.round(v).astype(np.int64)
+            if np.count_nonzero(q) < 8 or np.count_nonzero(q & 1) < 2:
+                continue  # degenerate (trimmed sliver / half-gain) copy
+            d = np.abs(v - q)
+            res = float(np.mean(d))
+            if res >= 0.23:
+                continue  # chance-level copy: only noise to add
+            llr += np.where((q & 1) == 1, 1.0, -1.0) * (1.0 - 2.0 * d)
+            all_res.append(res)
+            used += 1
+        if used == 0:
+            return None
+        rows.append((llr > 0).astype(np.int64))
+    bits = np.stack(rows).reshape(-1, 8)
+    return bits_to_string(bits), float(np.mean(all_res))
 
 
 def _decode_windows(

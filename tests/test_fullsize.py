@@ -227,3 +227,32 @@ def test_watermark_survives_opus_64k_on_real_speech():
     marked = wm.add_watermark(np.asarray(x, np.float32), "@MyShell")
     decoded = opus.opus_roundtrip(marked, 22050, kbps=64)
     assert wm.detect_watermark(decoded, 2) == "@MyShell"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(RESOURCES, "demo_speaker0.mp3")),
+    reason="reference demo resources not present",
+)
+def test_watermark_survives_vorbis_on_real_speech(tmp_path):
+    """Real speech through a real Ogg/Vorbis codec at q0.2 (~96 kbps) and
+    q0.0 (~64 kbps).  Vorbis noise-fill blurs the lattice to the 0.10-0.20
+    gray zone at exact alignment (it is sample-exact, no codec delay); the
+    detector's soft-decision combine across cyclic slot copies recovers the
+    bits (watermark.py::_soft_decode_windows).  q-0.1 (~45 kbps) is the
+    measured floor; docs/QA.md."""
+    from openvoice_tpu.audio import load_audio, native
+    from openvoice_tpu.audio.ogg import available, read_ogg, write_ogg
+    from openvoice_tpu.pipeline import watermark as wm
+
+    if not available():
+        pytest.skip("system vorbis libraries not available")
+    if not native.available():
+        pytest.skip("native lib not built")
+    x, _ = load_audio(os.path.join(RESOURCES, "demo_speaker0.mp3"), sr=22050)
+    marked = wm.add_watermark(np.asarray(x, np.float32), "@MyShell")
+    for q in (0.2, 0.0):
+        p = str(tmp_path / f"wm_{q}.ogg")
+        write_ogg(p, marked, 22050, quality=q)
+        y, sr = read_ogg(p)
+        assert sr == 22050
+        assert wm.detect_watermark(np.asarray(y, np.float32), 2) == "@MyShell", q

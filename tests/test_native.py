@@ -171,3 +171,35 @@ def test_mp3_encode_stereo_and_bad_args(tmp_path):
     assert sr2 == sr and y.ndim == 2 and y.shape[1] == 2
     with pytest.raises(ValueError):
         write_mp3(str(tmp_path / "bad.mp3"), x, sr, kbps=-5)
+
+
+def test_ogg_encode_decode_roundtrip(tmp_path):
+    """vorbisenc encode → vorbisfile decode: Vorbis is sample-exact in
+    length (no codec delay) and preserves the tone's spectral peak."""
+    from openvoice_tpu.audio.ogg import available, read_ogg, write_ogg
+
+    if not available():
+        pytest.skip("system vorbis libraries not available")
+    sr = 22050
+    t = np.arange(3 * sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 220 * t) + 0.1 * np.sin(2 * np.pi * 880 * t)).astype(
+        np.float32
+    )
+    p = str(tmp_path / "rt.ogg")
+    write_ogg(p, x, sr, quality=0.4)
+    y, sr2 = read_ogg(p)
+    assert sr2 == sr and len(y) == len(x)
+    assert abs(float(np.sqrt((y**2).mean())) - float(np.sqrt((x**2).mean()))) < 0.02
+    spec = np.abs(np.fft.rfft(y[: 2 * sr]))
+    peak = np.fft.rfftfreq(2 * sr, 1.0 / sr)[int(np.argmax(spec))]
+    assert abs(peak - 220.0) < 2.0
+    # stereo + load_audio dispatch
+    st = np.stack([x, -x], axis=1)
+    p2 = str(tmp_path / "st.ogg")
+    write_ogg(p2, st, sr, quality=0.2)
+    w, _ = read_ogg(p2)
+    assert w.ndim == 2 and w.shape == st.shape
+    from openvoice_tpu.audio import load_audio
+
+    z, zr = load_audio(p, sr=16000)
+    assert zr == 16000 and z.ndim == 1
