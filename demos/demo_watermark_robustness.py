@@ -142,8 +142,10 @@ def main() -> None:
             y = (np.round(np.clip(y, -1, 1) * 32767) / 32767).astype(np.float32)
             abuses.append(("mp3-128 + 0.85× + PCM16 + 300-pad",
                            np.concatenate([np.zeros(300, np.float32), y])))
-    except Exception:  # noqa: BLE001
-        pass
+        else:
+            abuses.append(("mp3 combination chain (encoder not built)", None))
+    except Exception as exc:  # noqa: BLE001
+        abuses.append((f"mp3 combination chain (error: {exc})", None))
 
     print(f"{'abuse':42s} decoded")
     for name, audio in abuses:

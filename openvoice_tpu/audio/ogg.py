@@ -78,7 +78,15 @@ def available() -> bool:
                     path.encode(), probe.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                     len(probe), 22050, 1, ctypes.c_float(0.4),
                 )
-                _AVAILABLE = rc == 0
+                # decode rides a DIFFERENT system library (libvorbisfile,
+                # packaged separately from libvorbis/enc) — probe it too
+                if rc == 0:
+                    arr, sr = read_ogg(path)
+                    _AVAILABLE = sr == 22050 and len(arr) == len(probe)
+                else:
+                    _AVAILABLE = False
+            except ValueError:
+                _AVAILABLE = False
             finally:
                 os.unlink(path)
         except (RuntimeError, OSError):

@@ -353,7 +353,15 @@ def _resync(audio: np.ndarray, n_repeat: int, max_offset: int,
     (the pre-r4 reading, kept for audio without index carriers); frac is the
     sub-sample part of the delay (nonzero after e.g. an Opus round trip)."""
     best = None
-    for w in range(max(1, n_repeat)):
+    # scan EVERY slot position in the audio, not just the first n_repeat:
+    # a leading pad longer than max_offset (e.g. several whole slots of
+    # silence) puts the first real content slots beyond the search range of
+    # the early windows; later windows — each searched ±max_offset — tile
+    # the whole clip, and the per-slot index carriers disambiguate which
+    # absolute slot was locked.  The early break keeps common cases at one
+    # or two FFT searches.
+    n_positions = max(max(1, n_repeat), (len(audio) - K) // (COEFF * K) + 1)
+    for w in range(n_positions):
         win_start = COEFF * w * K
         cand = _resync_window(audio, win_start, max_offset, gain_db)
         if cand is not None and (best is None or cand[3] < best[4]):
@@ -362,6 +370,39 @@ def _resync(audio: np.ndarray, n_repeat: int, max_offset: int,
         if best is not None and best[4] < 0.02:
             break  # unambiguous lock; skip the remaining FFT searches
     return best
+
+
+def _framing_offset(audio: np.ndarray, gain: float) -> int:
+    """Whole-slot framing correction for trivially-aligned decodes.
+
+    A pad or head trim that is an exact multiple of the COEFF·K slot
+    period leaves every window ON the lattice but ROTATES which message
+    window each slot carries — the strict/gray decoders would return a
+    confidently wrong rotation.  Read the r4 per-slot index carriers at the
+    first slot whose payload constellation is real (silence/pad slots are
+    degenerate AND tag slot 0 ambiguously — all index bits zero): if the
+    index says this is original slot s at audio slot position m, original
+    sample 0 sits at COEFF·(m−s)·K.  Returns 0 when aligned, when the
+    audio predates index carriers, or when nothing readable is found."""
+    n_slots = max(1, (len(audio) - K) // (COEFF * K) + 1)
+    for m in range(n_slots):
+        pos = COEFF * m * K
+        chunk = _window_at(audio, pos)
+        if chunk is None:
+            break
+        corr = (_PN @ chunk).astype(np.float64) / gain
+        q = np.round(corr / _DELTA).astype(np.int64)
+        if np.count_nonzero(q) < 8 or np.count_nonzero(q & 1) < 2:
+            continue  # degenerate payload (pad/silence): index unreadable
+        if _lattice_residual(corr, 1.0) >= _RESIDUAL_GRAY:
+            continue  # not on the lattice at this slot
+        idx_corr = (_PN_IDX @ chunk).astype(np.float64) / gain
+        if _lattice_residual(idx_corr, 1.0) >= _RESIDUAL_GRAY:
+            return 0  # pre-r4 embedding without index carriers
+        bits = np.round(idx_corr / _DELTA).astype(np.int64) & 1
+        slot = int(sum(int(b) << i for i, b in enumerate(bits)))
+        return COEFF * (m - slot) * K
+    return 0
 
 
 def _window_at(audio: np.ndarray, start: int) -> np.ndarray | None:
@@ -397,6 +438,14 @@ def detect_watermark(
     audio = np.asarray(audio, dtype=np.float32)
     strict = _decode_windows(audio, n_repeat, 0, 1.0)
     if strict is not None and strict[1] < _RESIDUAL_OK:
+        # a whole-slot-period pad/trim keeps every window on the lattice
+        # but rotates the message — confirm the framing via the index
+        # carriers before trusting the trivial alignment
+        off = _framing_offset(audio, 1.0) if robust else 0
+        if off != 0:
+            fixed = _decode_windows(audio, n_repeat, off, 1.0, cyclic=True)
+            if fixed is not None and fixed[1] < _RESIDUAL_OK:
+                return fixed[0]
         return strict[0]
     if not robust:
         return "Fail" if strict is None else strict[0]
@@ -411,7 +460,10 @@ def detect_watermark(
             g = _refine_gain(corr0, 1.0)
             if 0.5 <= g <= 2.0 and _constellation_ok(corr0, g):
                 g0 = g
-        soft = _soft_decode_windows(audio, n_repeat, 0, g0)
+        # same whole-slot rotation hazard as the strict path (a gray-zone
+        # clip may ALSO carry a slot-multiple pad/trim)
+        off = _framing_offset(audio, g0)
+        soft = _soft_decode_windows(audio, n_repeat, off, g0)
         if soft is not None and soft[1] < _RESIDUAL_GRAY:
             return soft[0]
     sync = _resync(audio, n_repeat, max_offset, gain_db)

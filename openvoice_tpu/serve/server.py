@@ -178,11 +178,13 @@ def make_handler(service: VoiceService):
             for an unknown format / unavailable encoder."""
             fmt = req.get("format", "f32")
             try:
+                # TypeError too: a JSON null/list kbps is client error (400),
+                # not a server fault (500)
                 payload = encode_response_audio(
                     out, sr, fmt, kbps=int(req.get("kbps", 128))
                 )
-            except ValueError as exc:
-                self._json(400, {"error": str(exc)})
+            except (ValueError, TypeError) as exc:
+                self._json(400, {"error": f"[ERROR] {exc}"})
                 return
             self._json(
                 200,

@@ -286,3 +286,37 @@ def test_split_audio_vad_too_short():
 
     with pytest.raises(ValueError):
         split_audio_vad(np.zeros(1000, np.float32), 16000)
+
+
+def test_watermark_survives_slot_aligned_pads_and_trims():
+    """Pads/trims that are EXACT multiples of the 32,000-sample slot period
+    keep every window on the lattice but rotate which message window each
+    slot carries — the one case where a clean lattice fit can decode a
+    confidently WRONG message.  The per-slot index carriers must correct
+    the framing (watermark.py::_framing_offset) on both the strict and
+    gray-zone paths; r4.1 regression test (found by review: HEAD returned
+    'hell@MyS' for these)."""
+    audio = _speechlike(16000 * 16, seed=21)
+    marked = wm.add_watermark(audio, "@MyShell")
+    period = wm.COEFF * wm.K
+    cases = {
+        "pad 1 slot": np.concatenate([np.zeros(period, np.float32), marked]),
+        "trim 1 slot": marked[period:],
+        "trim 3 slots": marked[3 * period :],
+        "pad 1 slot + 0.8x": np.concatenate(
+            [np.zeros(period, np.float32), marked * 0.8]
+        ),
+    }
+    for name, y in cases.items():
+        assert wm.detect_watermark(y, 2) == "@MyShell", name
+
+
+def test_watermark_survives_arbitrary_length_pads():
+    """r4.1: the resync scans every slot position (not just the first
+    n_repeat), so leading pads of ANY length — aligned or not — are
+    recovered, symmetrically with arbitrary head trims."""
+    audio = _speechlike(16000 * 16, seed=22)
+    marked = wm.add_watermark(audio, "@MyShell")
+    for pad in (96000, 100000):
+        y = np.concatenate([np.zeros(pad, np.float32), marked])
+        assert wm.detect_watermark(y, 2) == "@MyShell", pad
