@@ -360,7 +360,11 @@ def _resync(audio: np.ndarray, n_repeat: int, max_offset: int,
     # the whole clip, and the per-slot index carriers disambiguate which
     # absolute slot was locked.  The early break keeps common cases at one
     # or two FFT searches.
+    # Bounded at 32 positions (≈46 s of leading material): each position is
+    # a full FFT × gain-grid search, and UNWATERMARKED audio never locks, so
+    # an unbounded scan would make rejection time linear in clip length.
     n_positions = max(max(1, n_repeat), (len(audio) - K) // (COEFF * K) + 1)
+    n_positions = min(n_positions, 32)
     for w in range(n_positions):
         win_start = COEFF * w * K
         cand = _resync_window(audio, win_start, max_offset, gain_db)
