@@ -185,11 +185,18 @@ extern "C" int64_t ovt_ogg_decode(const char* path, float** out, int* sample_rat
 
   std::vector<float> samples;  // interleaved
   int bitstream = 0;
+  int consecutive_errors = 0;
   for (;;) {
     float** pcm = nullptr;
     long n = v.read_float(vf.data(), &pcm, 4096, &bitstream);
     if (n == 0) break;   // EOF
-    if (n < 0) continue; // OV_HOLE / OV_EBADLINK: skip corrupt section
+    if (n < 0) {         // OV_HOLE / OV_EBADLINK: skip corrupt section —
+      // but bounded: a malformed stream returning errors forever (server
+      // inputs reach this via load_audio) must fail, not hang the decode
+      if (++consecutive_errors > 64) { v.clear(vf.data()); return -2; }
+      continue;
+    }
+    consecutive_errors = 0;
     size_t base = samples.size();
     samples.resize(base + size_t(n) * ch);
     for (long i = 0; i < n; i++)

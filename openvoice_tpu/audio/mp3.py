@@ -112,22 +112,44 @@ def encoder_available() -> bool:
     return _ENCODER_OK
 
 
-def write_mp3(path: str, audio: np.ndarray, sr: int, kbps: int = 128) -> None:
+# MPEG Layer III CBR bitrate tables (kbps).  Which table applies is fixed by
+# the sample rate: MPEG-1 at 32/44.1/48 kHz, MPEG-2(.5) below — lame silently
+# clamps an out-of-table request (e.g. 192 kbps at 22.05 kHz encodes at 160),
+# so the clamp is made explicit here and the EFFECTIVE bitrate is returned.
+_MPEG1_KBPS = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MPEG2_KBPS = (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+
+def effective_kbps(sr: int, kbps: int) -> int:
+    """The CBR bitrate lame will actually use for `sr`: the largest table
+    entry ≤ the request (table minimum when the request is below it)."""
+    if kbps <= 0:
+        raise ValueError(f"kbps must be positive, got {kbps}")
+    table = _MPEG1_KBPS if sr >= 32000 else _MPEG2_KBPS
+    fits = [b for b in table if b <= kbps]
+    return fits[-1] if fits else table[0]
+
+
+def write_mp3(path: str, audio: np.ndarray, sr: int, kbps: int = 128) -> int:
     """Encode float32 samples ([T] mono or [T, C] interleaved, values in
-    [-1, 1]) to a CBR mp3 at `kbps`.  lame's psychoacoustic model runs at
-    quality 2; the encoder never resamples (out_samplerate == sr)."""
+    [-1, 1]) to a CBR mp3.  lame's psychoacoustic model runs at quality 2;
+    the encoder never resamples (out_samplerate == sr).  Returns the
+    EFFECTIVE kbps (the request clamped to the MPEG table for `sr` —
+    e.g. 192 at 22.05 kHz encodes at 160)."""
     lib = _load()
     if not hasattr(lib, "ovt_mp3_encode"):
         raise RuntimeError(
             "native audio lib predates the mp3 encoder; rebuild with "
             "`cmake --build native/build`"
         )
+    eff = effective_kbps(int(sr), int(kbps))
     audio = np.ascontiguousarray(audio, np.float32)
     frames = audio.shape[0]
     ch = 1 if audio.ndim == 1 else int(audio.shape[1])
     rc = lib.ovt_mp3_encode(
         path.encode(), audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        frames, int(sr), ch, int(kbps),
+        frames, int(sr), ch, eff,
     )
     if rc < 0:
         raise ValueError(f"mp3 encode failed for {path} (code {rc})")
+    return eff

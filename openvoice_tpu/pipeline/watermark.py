@@ -386,10 +386,20 @@ def _framing_offset(audio: np.ndarray, gain: float) -> int:
     first slot whose payload constellation is real (silence/pad slots are
     degenerate AND tag slot 0 ambiguously — all index bits zero): if the
     index says this is original slot s at audio slot position m, original
-    sample 0 sits at COEFF·(m−s)·K.  Returns 0 when aligned, when the
-    audio predates index carriers, or when nothing readable is found."""
+    sample 0 sits at COEFF·(m−s)·K.
+
+    The implied offset is read from up to 5 readable slots and put to a
+    MAJORITY VOTE (a single index bit error that still passes the decoder's
+    rotation-invariant residual gate would otherwise silently rotate the
+    message): with ≥2 readable slots a nonzero correction needs ≥2 agreeing
+    votes; a lone readable slot is trusted as-is (short audio has no
+    redundancy to cross-check).  Returns 0 when aligned, when the audio
+    predates index carriers, or when nothing readable is found."""
     n_slots = max(1, (len(audio) - K) // (COEFF * K) + 1)
+    votes: list[int] = []
     for m in range(n_slots):
+        if len(votes) >= 5:
+            break
         pos = COEFF * m * K
         chunk = _window_at(audio, pos)
         if chunk is None:
@@ -405,8 +415,13 @@ def _framing_offset(audio: np.ndarray, gain: float) -> int:
             return 0  # pre-r4 embedding without index carriers
         bits = np.round(idx_corr / _DELTA).astype(np.int64) & 1
         slot = int(sum(int(b) << i for i, b in enumerate(bits)))
-        return COEFF * (m - slot) * K
-    return 0
+        votes.append(COEFF * (m - slot) * K)
+    if not votes:
+        return 0
+    if len(votes) == 1:
+        return votes[0]
+    best = max(set(votes), key=votes.count)
+    return best if votes.count(best) >= 2 else 0
 
 
 def _window_at(audio: np.ndarray, start: int) -> np.ndarray | None:

@@ -110,12 +110,15 @@ def encode_response_audio(out: np.ndarray, sr: int, fmt: str, kbps: int = 128) -
         fd, path = tempfile.mkstemp(suffix=".mp3")
         os.close(fd)
         try:
-            write_mp3(path, out, sr, kbps=kbps)
+            # the payload reports the EFFECTIVE bitrate: lame clamps requests
+            # outside the MPEG table for this sample rate (192 @ 22.05 kHz
+            # encodes at 160), so echoing the request would misreport
+            eff = write_mp3(path, out, sr, kbps=kbps)
             with open(path, "rb") as f:
                 blob = f.read()
         finally:
             os.unlink(path)
-        return {"encoding": "mp3", "kbps": kbps, "audio_b64": base64.b64encode(blob).decode()}
+        return {"encoding": "mp3", "kbps": eff, "audio_b64": base64.b64encode(blob).decode()}
     raise ValueError(f"[ERROR] unknown format {fmt!r}: expected one of {_FORMATS}")
 
 

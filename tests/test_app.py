@@ -48,6 +48,28 @@ def test_detect_language_latin_script_non_english():
     assert detect_language("this is a voice cloning demo") == "en"
 
 
+def test_detect_language_latin_script_it_pt_nl():
+    """r4 missing #4: Italian/Portuguese/Dutch sentences must also leave
+    the EN route (any non-en label rejects at the ladder)."""
+    assert detect_language(
+        "ciao, grazie mille per essere venuto oggi, sono molto felice") == "it"
+    assert detect_language(
+        "olá, muito obrigado por ter vindo hoje, você é muito gentil") == "pt"
+    assert detect_language(
+        "hallo, dank je wel voor vandaag, wij zijn heel blij met jullie") == "nl"
+
+
+def test_latin_it_pt_nl_rejected_by_ladder(app):
+    for prompt in [
+        "ciao, grazie mille per essere venuto oggi, sono molto felice",
+        "olá, muito obrigado por ter vindo hoje, você é muito gentil",
+        "hallo, dank je wel voor vandaag, wij zijn heel blij met jullie",
+    ]:
+        r = app.predict(prompt, "default", "x.wav", agree=True)
+        assert "[ERROR] The detected language" in r.info, r.info
+        assert r.audio is None
+
+
 def test_latin_non_english_rejected_by_ladder(app):
     """The unsupported-language [ERROR] fires for es/fr/de input exactly as
     the reference's langid gate does (openvoice_app.py:51-56)."""

@@ -173,6 +173,22 @@ def test_mp3_encode_stereo_and_bad_args(tmp_path):
         write_mp3(str(tmp_path / "bad.mp3"), x, sr, kbps=-5)
 
 
+def test_mp3_effective_kbps_table():
+    """The advertised bitrate is the MPEG-table clamp, not the request
+    (lame silently clamps: 192 @ 22.05 kHz → 160 — ADVICE r4)."""
+    from openvoice_tpu.audio.mp3 import effective_kbps
+
+    assert effective_kbps(22050, 192) == 160   # MPEG-2 ceiling
+    assert effective_kbps(22050, 320) == 160
+    assert effective_kbps(22050, 128) == 128
+    assert effective_kbps(22050, 100) == 96    # round down to table entry
+    assert effective_kbps(44100, 192) == 192   # MPEG-1 table allows it
+    assert effective_kbps(44100, 20) == 32     # below table → minimum
+    assert effective_kbps(16000, 4) == 8
+    with pytest.raises(ValueError):
+        effective_kbps(22050, 0)
+
+
 def test_ogg_encode_decode_roundtrip(tmp_path):
     """vorbisenc encode → vorbisfile decode: Vorbis is sample-exact in
     length (no codec delay) and preserves the tone's spectral peak."""
