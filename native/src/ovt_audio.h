@@ -44,6 +44,17 @@ int64_t ovt_ogg_decode(const char* path, float** out, int* sample_rate, int* cha
 int ovt_ogg_encode(const char* path, const float* samples, int64_t frames,
                    int sample_rate, int channels, float quality);
 
+// ---- FLAC codec ------------------------------------------------------------
+// From-scratch FLAC bitstream implementation (no libFLAC dependency).
+// Decode returns frame count or negative error (-1 io, -2 format/corrupt,
+// -4 oom); supports CONSTANT/VERBATIM/FIXED/LPC subframes, all channel
+// decorrelations, wasted bits, 8-32 bit depth.
+int64_t ovt_flac_decode(const char* path, float** out, int* sample_rate, int* channels);
+// Encode interleaved float32 ([-1, 1]) as 16-bit FLAC (fixed+LPC predictors,
+// Rice residuals).  Returns 0 or negative error (-1 io, -2 bad args).
+int ovt_flac_encode(const char* path, const float* samples, int64_t frames,
+                    int sample_rate, int channels);
+
 // ---- resampler -------------------------------------------------------------
 // Kaiser-windowed polyphase resampler, mono float32.
 // Returns output length or negative error code.

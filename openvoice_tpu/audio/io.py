@@ -198,7 +198,8 @@ def load_audio(path: str, sr: int | None = None, mono: bool = True) -> tuple[np.
     """librosa.load-compatible entry: decode → mono mixdown → resample.
 
     Supports .wav natively; .mp3 and .ogg/.oga via the native codecs if
-    built (mpg123 / libvorbisfile behind the in-repo C ABI).
+    built (mpg123 / libvorbisfile behind the in-repo C ABI); .flac via the
+    in-repo from-scratch decoder (native/src/flac.cc — no system library).
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".mp3":
@@ -209,6 +210,10 @@ def load_audio(path: str, sr: int | None = None, mono: bool = True) -> tuple[np.
         from openvoice_tpu.audio.ogg import read_ogg
 
         audio, file_sr = read_ogg(path)
+    elif ext == ".flac":
+        from openvoice_tpu.audio.flac import read_flac
+
+        audio, file_sr = read_flac(path)
     else:
         audio, file_sr = read_wav(path)
     if mono and audio.ndim > 1:

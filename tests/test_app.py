@@ -110,6 +110,24 @@ def ref_wav(tmp_path_factory):
     return path
 
 
+def test_get_se_accepts_flac(app, ref_wav, tmp_path):
+    """The SE pipeline accepts .flac reference clips (reference: anything
+    librosa/ffmpeg decodes, api.py:144).  FLAC is lossless at PCM16, and the
+    wav twin is PCM16 too, so the SEs must be bit-identical."""
+    from openvoice_tpu.audio import flac
+    from openvoice_tpu.audio.io import load_audio
+    from openvoice_tpu.pipeline.se_extractor import get_se
+
+    if not flac.available():
+        pytest.skip("native lib not built")
+    audio, sr = load_audio(ref_wav, sr=None)
+    flac_path = str(tmp_path / "ref.flac")
+    flac.write_flac(flac_path, audio, sr)
+    se_wav, _ = get_se(ref_wav, app.converter, target_dir=str(tmp_path / "c1"))
+    se_flac, _ = get_se(flac_path, app.converter, target_dir=str(tmp_path / "c2"))
+    np.testing.assert_array_equal(np.asarray(se_wav), np.asarray(se_flac))
+
+
 def test_guard_terms(app):
     r = app.predict("hello there", "default", "x.wav", agree=False)
     assert "Terms & Condition" in r.info and r.audio is None

@@ -189,6 +189,269 @@ def test_mp3_effective_kbps_table():
         effective_kbps(22050, 0)
 
 
+# ---------------------------------------------------------------------------
+# FLAC (from-scratch codec, native/src/flac.cc — no system library)
+# ---------------------------------------------------------------------------
+
+
+def _pcm16(x: np.ndarray) -> np.ndarray:
+    """llround-matching PCM16 quantizer (half away from zero)."""
+    v = np.clip(x, -1, 1).astype(np.float64) * 32767.0
+    return (np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) / 32768.0).astype(
+        np.float32
+    )
+
+
+def _flac_or_skip():
+    from openvoice_tpu.audio import flac
+
+    if not flac.available():
+        pytest.skip("native lib not built")
+    return flac
+
+
+def test_flac_roundtrip_lossless_mono(tmp_path):
+    """FLAC is lossless: decode returns exactly the PCM16 quantization of
+    the input.  Signal mixes silence (CONSTANT subframes), tones (LPC), and
+    noise (FIXED/verbatim-ish) so every encoder predictor class is hit."""
+    flac = _flac_or_skip()
+    sr = 22050
+    rng = np.random.default_rng(5)
+    t = np.arange(5 * sr) / sr
+    x = np.clip(
+        0.3 * np.sin(2 * np.pi * 220 * t) + 0.15 * np.sin(2 * np.pi * 733 * t)
+        + 0.05 * rng.standard_normal(len(t)), -1, 1,
+    ).astype(np.float32)
+    x[:5000] = 0.0
+    p = str(tmp_path / "m.flac")
+    flac.write_flac(p, x, sr)
+    y, sr2 = flac.read_flac(p)
+    assert sr2 == sr and y.shape == x.shape
+    np.testing.assert_array_equal(y, _pcm16(x))
+    # and it actually compresses vs raw PCM16
+    import os as _os
+
+    assert _os.path.getsize(p) < 2 * len(x)
+
+
+def test_flac_roundtrip_stereo_and_odd_lengths(tmp_path):
+    flac = _flac_or_skip()
+    sr = 16000
+    rng = np.random.default_rng(6)
+    for n in (1, 15, 100, 4096, 4097, 10000):
+        x = np.clip(0.2 * rng.standard_normal((n, 2)), -1, 1).astype(np.float32)
+        p = str(tmp_path / f"s{n}.flac")
+        flac.write_flac(p, x, sr)
+        y, sr2 = flac.read_flac(p)
+        assert sr2 == sr and y.shape == x.shape, n
+        np.testing.assert_array_equal(y, _pcm16(x))
+
+
+def test_flac_tonal_compression(tmp_path):
+    """A pure tone must compress hard (LPC predictor working): < 60% of
+    PCM16 size."""
+    flac = _flac_or_skip()
+    sr = 22050
+    t = np.arange(4 * sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "tone.flac")
+    flac.write_flac(p, x, sr)
+    import os as _os
+
+    assert _os.path.getsize(p) < 0.6 * 2 * len(x)
+    y, _ = flac.read_flac(p)
+    np.testing.assert_array_equal(y, _pcm16(x))
+
+
+class _FlacBits:
+    """MSB-first bit writer for hand-crafting spec-surface FLAC streams."""
+
+    def __init__(self):
+        self.bytes_ = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, v, bits):
+        self.acc = (self.acc << bits) | (int(v) & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.bytes_.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+
+    def unary(self, q):
+        for _ in range(q):
+            self.w(0, 1)
+        self.w(1, 1)
+
+    def align(self):
+        if self.n:
+            self.w(0, 8 - self.n)
+
+
+def _crc8(data):
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data):
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _zigzag(v):
+    return -2 * v - 1 if v < 0 else 2 * v
+
+
+def test_flac_decodes_spec_surface_features(tmp_path):
+    """Decoder robustness on a hand-crafted stream using features our
+    encoder never emits: mid/side and left/side decorrelation, VERBATIM
+    subframes, wasted bits, Rice2 (5-bit param) residuals, partition order
+    2, escape partitions, and the 8-bit blocksize-at-end header code.
+    Ground truth is constructed sample-exactly in the test."""
+    flac = _flac_or_skip()
+    rng = np.random.default_rng(9)
+    bs = 64
+    left1 = rng.integers(-2000, 2000, bs).astype(np.int64)
+    right1 = rng.integers(-2000, 2000, bs).astype(np.int64)
+    # frame 2: left constant (with wasted bits), right slow ramp
+    left2 = np.full(bs, 0x0123 << 2, np.int64)
+    right2 = (np.arange(bs) * 3 - 50).astype(np.int64)
+
+    b = _FlacBits()
+    b.bytes_ += b"fLaC"
+    # STREAMINFO: last block, type 0, len 34
+    b.w(1, 1); b.w(0, 7); b.w(34, 24)
+    b.w(bs, 16); b.w(bs, 16); b.w(0, 24); b.w(0, 24)
+    b.w(44100, 20); b.w(1, 3); b.w(15, 5); b.w(2 * bs, 36)
+    for _ in range(16):
+        b.w(0, 8)
+
+    def frame_header(ch_assign, frame_no):
+        start = len(b.bytes_)
+        b.w(0x3FFE, 14); b.w(0, 1); b.w(0, 1)
+        b.w(6, 4)            # blocksize: 8-bit at end
+        b.w(9, 4)            # 44.1 kHz
+        b.w(ch_assign, 4)
+        b.w(4, 3); b.w(0, 1)  # 16-bit, reserved
+        b.w(frame_no, 8)      # UTF-8 (< 0x80)
+        b.w(bs - 1, 8)        # blocksize - 1
+        b.w(_crc8(b.bytes_[start:]), 8)
+        return start
+
+    # ---- frame 1: mid/side; mid = VERBATIM, side = FIXED-1 + Rice2 po=2
+    mid = (left1 + right1) >> 1
+    side = left1 - right1
+    start = frame_header(10, 0)
+    b.w(0, 1); b.w(1, 6); b.w(0, 1)          # VERBATIM, no wasted
+    for v in mid:
+        b.w(int(v), 16)
+    b.w(0, 1); b.w(0x08 | 1, 6); b.w(0, 1)   # FIXED order 1 (side: 17 bit)
+    b.w(int(side[0]), 17)
+    res = np.diff(side)                       # residuals for i >= 1
+    b.w(1, 2)                                 # method 1: Rice2
+    b.w(2, 4)                                 # partition order 2 → 4 × 16
+    idx = 0
+    for p in range(4):
+        count = 16 - (1 if p == 0 else 0)
+        chunk = res[idx : idx + count]
+        idx += count
+        if p == 2:                            # escape partition: raw 15-bit
+            b.w(31, 5); b.w(15, 5)
+            for v in chunk:
+                b.w(int(v), 15)
+        else:
+            k = 4
+            b.w(k, 5)
+            for v in chunk:
+                z = _zigzag(int(v))
+                b.unary(z >> k)
+                b.w(z & ((1 << k) - 1), k)
+    b.align()
+    b.w(_crc16(b.bytes_[start:]), 16)
+
+    # ---- frame 2: left/side; left = CONSTANT with 2 wasted bits,
+    #              side = FIXED-0 (verbatim-via-residual) Rice po=0
+    side2 = left2 - right2
+    start = frame_header(8, 1)
+    b.w(0, 1); b.w(0, 6)                      # CONSTANT
+    b.w(1, 1); b.unary(1)                     # wasted flag, k-1=1 → k=2
+    b.w(0x0123, 14)                           # 16-2 bits
+    b.w(0, 1); b.w(0x08 | 0, 6); b.w(0, 1)    # FIXED order 0 (17 bit)
+    b.w(0, 2); b.w(0, 4)                      # Rice, po=0
+    k = 6
+    b.w(k, 4)
+    for v in side2:
+        z = _zigzag(int(v))
+        b.unary(z >> k)
+        b.w(z & ((1 << k) - 1), k)
+    b.align()
+    b.w(_crc16(b.bytes_[start:]), 16)
+
+    p = str(tmp_path / "crafted.flac")
+    open(p, "wb").write(bytes(b.bytes_))
+    y, sr = flac.read_flac(p)
+    assert sr == 44100 and y.shape == (2 * bs, 2)
+    got = np.round(y * 32768.0).astype(np.int64)
+    np.testing.assert_array_equal(got[:bs, 0], left1)
+    np.testing.assert_array_equal(got[:bs, 1], right1)
+    np.testing.assert_array_equal(got[bs:, 0], left2)
+    np.testing.assert_array_equal(got[bs:, 1], right2)
+
+
+def test_flac_rejects_corrupt_input(tmp_path):
+    flac = _flac_or_skip()
+    sr = 8000
+    x = np.clip(0.2 * np.random.default_rng(0).standard_normal(9000), -1, 1).astype(
+        np.float32
+    )
+    p = str(tmp_path / "ok.flac")
+    flac.write_flac(p, x, sr)
+    blob = bytearray(open(p, "rb").read())
+    # not-a-flac
+    bad = str(tmp_path / "bad.flac")
+    open(bad, "wb").write(b"RIFF" + bytes(blob[4:]))
+    with pytest.raises(ValueError):
+        flac.read_flac(bad)
+    # bit flip inside a frame → CRC catches it
+    flipped = bytearray(blob)
+    flipped[len(flipped) // 2] ^= 0x40
+    open(bad, "wb").write(bytes(flipped))
+    with pytest.raises(ValueError):
+        flac.read_flac(bad)
+    # truncation mid-frame
+    open(bad, "wb").write(bytes(blob[: len(blob) - len(blob) // 3]))
+    with pytest.raises(ValueError):
+        flac.read_flac(bad)
+    with pytest.raises(ValueError):
+        flac.read_flac(str(tmp_path / "missing.flac"))
+
+
+def test_flac_load_audio_dispatch(tmp_path):
+    """load_audio accepts .flac like the reference's librosa path does
+    (reference api.py:144): decode → mono mixdown → resample."""
+    flac = _flac_or_skip()
+    from openvoice_tpu.audio.io import load_audio
+
+    sr = 22050
+    t = np.arange(2 * sr) / sr
+    x = np.stack(
+        [0.3 * np.sin(2 * np.pi * 220 * t), 0.3 * np.sin(2 * np.pi * 330 * t)], axis=1
+    ).astype(np.float32)
+    p = str(tmp_path / "d.flac")
+    flac.write_flac(p, x, sr)
+    a, asr = load_audio(p, sr=16000)
+    assert asr == 16000 and a.ndim == 1
+    assert abs(len(a) - 2 * 16000) <= 2
+
+
 def test_ogg_encode_decode_roundtrip(tmp_path):
     """vorbisenc encode → vorbisfile decode: Vorbis is sample-exact in
     length (no codec delay) and preserves the tone's spectral peak."""
