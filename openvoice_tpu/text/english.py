@@ -270,7 +270,12 @@ _RULES: dict[str, list[tuple[str, str, str, str]]] = {
         ("", "ai", "", "eɪ"), ("", "ay", "", "eɪ"), ("", "au", "", "ɔ"),
         ("#:", "al", " ", "əl"), ("#:", "als", " ", "əlz"), ("", "alk", "", "ɔk"),
         ("", "al", "^", "ɔl"), (" :", "able", "", "ˈeɪbəl"), ("", "able", "", "əbəl"),
-        ("", "ang", "+", "eɪnʤ"), ("", "a", "", "æ"),
+        ("", "ang", "+", "eɪnʤ"),
+        # word-final 'a' is the unstressed reduced vowel (sofa, russia,
+        # vanilla — CMU): measured on the lexicon this corrects 90 words
+        # and regresses 4 loanwords (spa-class), benchmarks/measure_g2p_per.py
+        ("", "a", " ", "ə"),
+        ("", "a", "", "æ"),
     ],
     "b": [
         (" ", "be", "^#", "bɪ"), ("", "being", "", "ˈbiɪŋ"), (" ", "both", " ", "boʊθ"),
@@ -656,6 +661,32 @@ def lexicon_pron(word: str) -> str | None:
 def word_to_ipa(word: str) -> str:
     pron = lexicon_pron(word)
     return pron if pron is not None else word_to_ipa_rules(word)
+
+
+_DIPHTHONGS = ("aɪ", "eɪ", "oʊ", "aʊ", "ɔɪ")
+
+
+def phoneme_tokens(ipa: str) -> list[str]:
+    """Segment an IPA string (this module's CMU-convention inventory) into
+    phoneme tokens for error-rate scoring: stress marks are dropped, the
+    five diphthongs are single tokens (bare a/e/o occur ONLY inside them in
+    this convention — the monophthongs are ɑ/ɛ/ɔ), everything else is one
+    codepoint (ʧ/ʤ are single codepoints here).  Used by the rule-engine
+    PER measurement (benchmarks/measure_g2p_per.py, tests/test_text.py)."""
+    out: list[str] = []
+    i = 0
+    while i < len(ipa):
+        if ipa[i] in "ˈˌ":
+            i += 1
+            continue
+        pair = ipa[i : i + 2]
+        if pair in _DIPHTHONGS:
+            out.append(pair)
+            i += 2
+        else:
+            out.append(ipa[i])
+            i += 1
+    return out
 
 
 def english_to_ipa(text: str) -> str:
