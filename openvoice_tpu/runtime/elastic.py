@@ -214,25 +214,24 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-class Supervisor:
-    """Launches a world of worker processes over one WorkLog and restarts a
-    shrunk world until all requests are done.
+class _RelaunchSupervisor:
+    """Shared launch-watch-shrink loop: launches a world of worker
+    processes, and on any failure relaunches a SHRUNK world until `done()`
+    says the job is complete.
 
     ``worker_cmd(coordinator, num_processes, process_id) -> argv`` builds
-    one worker's command line (the test points it at
-    tests/_elastic_child.py; a deployment points it at its launcher).
+    one worker's command line (tests point it at tests/_elastic*_child.py;
+    a deployment points it at its launcher).  Subclasses define done().
     """
 
     def __init__(
         self,
-        state_dir: str,
         worker_cmd,
         *,
         world: int,
         max_restarts: int = 3,
         env: dict | None = None,
     ):
-        self.log = WorkLog(state_dir)
         self.worker_cmd = worker_cmd
         self.world = world
         self.max_restarts = max_restarts
@@ -240,14 +239,16 @@ class Supervisor:
         self.restarts = 0
         self.history: list[dict] = []
 
+    def done(self) -> bool:
+        raise NotImplementedError
+
     def run(self, timeout_s: float = 600.0) -> bool:
-        """True when every request has a result.  Each attempt launches
-        `world` workers; on any failure the next attempt runs with
-        world − (#dead workers), minimum 1 — the shrunk world."""
-        n_total = len(self.log.load_requests())
+        """True when done().  Each attempt launches `world` workers; on any
+        failure the next attempt runs with world − 1, minimum 1 — the
+        shrunk world."""
         deadline = time.monotonic() + timeout_s
         while True:
-            if not self.log.pending_ids(n_total):
+            if self.done():
                 return True
             if self.restarts > self.max_restarts or time.monotonic() > deadline:
                 return False
@@ -271,7 +272,7 @@ class Supervisor:
                 outs.append(out)
                 rcs.append(p.returncode)
             self.history.append({"world": world, "rcs": rcs, "outs": outs})
-            if all(rc == 0 for rc in rcs) and not self.log.pending_ids(n_total):
+            if all(rc == 0 for rc in rcs) and self.done():
                 return True
             # Shrink by ONE per failed attempt, not by the count of
             # non-TEMPFAIL exits: one real death mid-collective takes down
@@ -284,3 +285,112 @@ class Supervisor:
             hard_failed = any(rc not in (0, EX_TEMPFAIL) for rc in rcs)
             self.world = max(1, world - (1 if hard_failed else 0))
             self.restarts += 1
+
+
+class Supervisor(_RelaunchSupervisor):
+    """Convert-serving supervisor: done = every WorkLog request has a
+    result (results accrue atomically as workers complete them)."""
+
+    def __init__(
+        self,
+        state_dir: str,
+        worker_cmd,
+        *,
+        world: int,
+        max_restarts: int = 3,
+        env: dict | None = None,
+    ):
+        super().__init__(worker_cmd, world=world, max_restarts=max_restarts, env=env)
+        self.log = WorkLog(state_dir)
+        self._n_total: int | None = None
+
+    def done(self) -> bool:
+        if self._n_total is None:
+            self._n_total = len(self.log.load_requests())
+        return not self.log.pending_ids(self._n_total)
+
+
+class TrainSupervisor(_RelaunchSupervisor):
+    """Elastic training supervisor (SURVEY §5.3 + §5.4 composed): done =
+    the checkpoint directory holds a step ≥ target.  A relaunched world —
+    shrunk or same-size — resumes from ckpt/native_io.latest_step via
+    training.loop.train's resume path, so a host death mid-training costs
+    at most `ckpt_every` steps of rework."""
+
+    def __init__(
+        self,
+        ckpt_dir: str,
+        target_step: int,
+        worker_cmd,
+        *,
+        world: int,
+        max_restarts: int = 3,
+        env: dict | None = None,
+    ):
+        super().__init__(worker_cmd, world=world, max_restarts=max_restarts, env=env)
+        self.ckpt_dir = ckpt_dir
+        self.target_step = target_step
+
+    def done(self) -> bool:
+        from openvoice_tpu.ckpt.native_io import latest_step
+
+        step = latest_step(self.ckpt_dir)
+        return step is not None and step >= self.target_step
+
+
+def train_worker_main(
+    data_root: str,
+    ckpt_dir: str,
+    cfg,
+    *,
+    coordinator: str | None,
+    num_processes: int,
+    process_id: int,
+    steps: int,
+    batch_size: int = 4,
+    segment_frames: int = 16,
+    ckpt_every: int = 4,
+    lr: float = 2e-4,
+    adversarial: bool = False,
+    die_after_step: int | None = None,
+    heartbeat_timeout_s: float = 8.0,
+    heartbeat_every: int = 1,
+) -> None:
+    """One process of an elastic training world: initialize the global
+    mesh, then run training.loop.train with checkpoint/resume wired — the
+    loop itself resumes from latest_step, so this worker is restartable at
+    any point.  A per-step heartbeat (every `heartbeat_every` steps) lets
+    survivors exit EX_TEMPFAIL promptly instead of waiting for XLA's
+    fatal (see module docstring); the TrainSupervisor relaunches either
+    way.
+
+    die_after_step: fault injection — hard-exit(9) right after that step's
+    checkpoint gate, simulating a mid-training host death."""
+    from openvoice_tpu.runtime import multihost as MH
+    from openvoice_tpu.training.loop import train
+
+    MH.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    mesh = MH.global_mesh(model_parallel=1) if num_processes > 1 else None
+    monitor = MH.HeartbeatMonitor(timeout_s=heartbeat_timeout_s)
+
+    def on_step(step: int, metrics) -> None:
+        if die_after_step is not None and step >= die_after_step:
+            os._exit(9)  # injected mid-training death
+        if num_processes > 1 and step % max(1, heartbeat_every) == 0:
+            if not monitor.beat():
+                print(f"[elastic train worker {process_id}] peer lost; exiting "
+                      "for relaunch", flush=True)
+                sys.exit(EX_TEMPFAIL)
+
+    train(
+        data_root, cfg,
+        steps=steps, batch_size=batch_size, segment_frames=segment_frames,
+        lr=lr, adversarial=adversarial,
+        ckpt_dir=ckpt_dir, ckpt_every=ckpt_every,
+        mesh=mesh, log_every=0, on_step=on_step,
+    )
+    print(f"[elastic train worker {process_id}] reached step {steps}", flush=True)

@@ -34,11 +34,15 @@ def train(
     mesh=None,
     log_every: int = 50,
     seed: int = 0,
+    on_step=None,
 ) -> T.GanTrainState | T.TrainState:
     """Run `steps` optimizer steps; returns the final state.
 
     adversarial=True uses the full GAN recipe (gan_train_step);
     False runs the mel+KL-only warmup objective (train_step).
+    on_step(step, metrics), if given, fires after each step's checkpoint
+    gate — progress callbacks, elastic fault injection (runtime/elastic.py
+    ::train_worker_main), early-stop signals via exception.
     """
     ds = ConverterDataset(data_root, cfg, batch_size, segment_frames, seed=seed)
     if len(ds.segments) < batch_size:
@@ -90,7 +94,10 @@ def train(
                         segment_frames=min(32, segment_frames), lr=lr,
                     )
                 else:
-                    state, metrics = T.train_step(state, cfg, spec, audio, lengths, g, sub, lr=lr)
+                    state, metrics = T.train_step(
+                        state, cfg, spec, audio, lengths, g, sub,
+                        segment_frames=min(32, segment_frames), lr=lr,
+                    )
                 step += 1
                 if log_every and step % log_every == 0 and jax.process_index() == 0:
                     ms = {k: round(float(v), 4) for k, v in metrics.items()}
@@ -99,6 +106,8 @@ def train(
                     from openvoice_tpu.ckpt import native_io as CIO
 
                     CIO.save_checkpoint(ckpt_dir, jax.tree.map(np.asarray, state), step=step)
+                if on_step is not None:
+                    on_step(step, metrics)
         if step == epoch_start:
             # a one-shot/exhausted iterable yields nothing: stop instead of
             # spinning forever re-wrapping an empty iterator

@@ -249,7 +249,7 @@ def gan_train_step(
     return GanTrainState(gen=new_gen, disc=new_disc), metrics
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("cfg", "segment_frames"), donate_argnums=(0,))
 def train_step(
     state: TrainState,
     cfg: SynthesizerConfig,
@@ -258,6 +258,7 @@ def train_step(
     spec_lengths: jnp.ndarray,
     g: jnp.ndarray,
     rng: jax.Array,
+    segment_frames: int = 32,
     lr: float = 2e-4,
 ) -> tuple[TrainState, dict]:
     """One optimizer step.  Under a mesh, in/out shardings follow the arrays'
@@ -266,7 +267,8 @@ def train_step(
     opt = make_optimizer(lr)
 
     def loss_fn(p):
-        return converter_loss(p, cfg, spec, audio, spec_lengths, g, rng)
+        return converter_loss(p, cfg, spec, audio, spec_lengths, g, rng,
+                              segment_frames=segment_frames)
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     updates, new_opt = opt.update(grads, state.opt_state, state.params)

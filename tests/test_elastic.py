@@ -200,6 +200,90 @@ def test_elastic_three_process_world_shrinks_by_one(worklog, tmp_path):
         np.testing.assert_allclose(log.load_result(i), _truth(params, req), atol=2e-5)
 
 
+def _make_training_data(root) -> None:
+    """root/<speaker>/clip.wav — enough 64-sample segments for batch 4."""
+    import os as _os
+
+    from openvoice_tpu.audio.io import write_wav
+
+    rng = np.random.default_rng(7)
+    for spk in ("spk0", "spk1"):
+        d = os.path.join(str(root), spk)
+        _os.makedirs(d, exist_ok=True)
+        t = np.arange(4000) / TINY.sampling_rate
+        x = (0.3 * np.sin(2 * np.pi * (220 if spk == "spk0" else 330) * t)
+             + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+        write_wav(os.path.join(d, "clip.wav"), x, TINY.sampling_rate)
+
+
+def _probe_loss(state_template, ckpt_path) -> float:
+    """Deterministic mel+KL loss of a checkpointed state on a fixed batch."""
+    import jax.numpy as jnp
+
+    from openvoice_tpu.ckpt import native_io as CIO
+    from openvoice_tpu.training import train as T
+
+    state = CIO.load_checkpoint(ckpt_path, template=state_template)
+    rng = np.random.default_rng(123)
+    spec = np.abs(rng.standard_normal((4, 16, TINY.spec_channels))).astype(np.float32)
+    audio = (rng.standard_normal((4, 16 * TINY.hop_length)) * 0.1).astype(np.float32)
+    lens = np.full(4, 16, np.int32)
+    g = np.zeros((4, 1, TINY.gin_channels), np.float32)
+    total, _ = T.converter_loss(
+        state.params, TINY, jnp.asarray(spec), jnp.asarray(audio),
+        jnp.asarray(lens), jnp.asarray(g), jax.random.PRNGKey(5),
+        segment_frames=16,
+    )
+    return float(total)
+
+
+def test_elastic_training_death_resumes_from_checkpoint(tmp_path):
+    """VERDICT r4 next #2: a training worker of a 2-process world dies
+    mid-run (hard exit after step 6); the TrainSupervisor relaunches a
+    world that RESUMES from the latest checkpoint (step 4, ckpt_every=4)
+    and reaches the target step count with finite losses — and the final
+    state's probe loss is at or below the pre-kill checkpoint's."""
+    from openvoice_tpu.ckpt import native_io as CIO
+    from openvoice_tpu.runtime.elastic import TrainSupervisor
+
+    data_root = tmp_path / "data"
+    ckpt_dir = str(tmp_path / "ckpt")
+    _make_training_data(data_root)
+    marker = str(tmp_path / "die.marker")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    target = 20
+
+    def cmd(coordinator, world, pid):
+        return [
+            sys.executable, "-m", "tests._elastic_train_child",
+            str(data_root), ckpt_dir, coordinator or "none",
+            str(world), str(pid), str(target),
+            f"1:6:{marker}",  # process 1 dies after step 6, once
+        ]
+
+    env = _clean_env()
+    env["PYTHONPATH"] = repo
+    sup = TrainSupervisor(ckpt_dir, target, cmd, world=2, max_restarts=3, env=env)
+    assert sup.run(timeout_s=600), f"elastic training failed: {sup.history}"
+
+    assert os.path.exists(marker), "fault injection never fired"
+    # attempt 1 died (injected 9 + peer EX_TEMPFAIL/fatal); a relaunch ran
+    assert len(sup.history) >= 2, sup.history
+    assert any(rc not in (0,) for rc in sup.history[0]["rcs"]), sup.history[0]
+    final = CIO.latest_step(ckpt_dir)
+    assert final is not None and final >= target
+
+    # the relaunch RESUMED: the pre-kill checkpoint exists and training
+    # improved (probe loss monotone-ish: final <= pre-kill, small slack)
+    from openvoice_tpu.training import train as T
+
+    template = T.init_train_state(jax.random.PRNGKey(0), TINY, lr=2e-3)
+    pre_kill = _probe_loss(template, f"{ckpt_dir}/step_4")
+    final_loss = _probe_loss(template, f"{ckpt_dir}/step_{final}")
+    assert np.isfinite(pre_kill) and np.isfinite(final_loss)
+    assert final_loss <= pre_kill * 1.02, (pre_kill, final_loss)
+
+
 def test_supervisor_full_run_no_failure(worklog, tmp_path):
     """Happy path: a 2-process world completes the whole WorkLog with zero
     restarts; results equal single-process truth."""
