@@ -92,8 +92,41 @@ def main() -> None:
                            jnp.asarray(lengths), jnp.asarray(g), key)
     l_fin, m_fin = probe(params_final, cfg, jnp.asarray(spec), jnp.asarray(audio),
                          jnp.asarray(lengths), jnp.asarray(g), key)
+
+    # --- cloning-quality metrics (VERDICT r4 next #7): convert a probe
+    # clip toward a target speaker with the INIT vs the TRAINED params and
+    # measure (a) SE-cosine of the converted audio vs the target SE —
+    # through the TRAINED model's own ref_enc, one fixed yardstick for both
+    # —  and (b) frame-aligned MCD vs the source (content distortion).
+    from openvoice_tpu.api import ToneColorConverter
+    from openvoice_tpu.training.quality import mcd, se_cosine
+
+    src_clip, _ = load_audio(os.path.join(spk, "example_reference.wav"),
+                             sr=cfg.sampling_rate)
+    tgt_clip, _ = load_audio(os.path.join(spk, "demo_speaker0.wav"),
+                             sr=cfg.sampling_rate)
+    src_clip = src_clip[: 6 * cfg.sampling_rate]
+    tgt_clip = tgt_clip[: 6 * cfg.sampling_rate]
+
+    meter = ToneColorConverter(cfg=cfg, enable_watermark=False)  # yardstick
+    meter.params = params_final
+    quality = {}
+    for tag, params in (("init", params_init), ("final", params_final)):
+        conv = ToneColorConverter(cfg=cfg, enable_watermark=False)
+        conv.params = params
+        src_se = conv._se_from_audio_batch([src_clip])[None, :, None]
+        tgt_se = conv._se_from_audio_batch([tgt_clip])[None, :, None]
+        out = conv.convert(src_clip, src_se, tgt_se, tau=0.0, message="")
+        quality[f"se_cos_tgt_{tag}"] = round(
+            se_cosine(meter, out, meter._se_from_audio_batch([tgt_clip])), 4)
+        quality[f"mcd_src_{tag}"] = round(mcd(out, src_clip[: len(out)],
+                                              cfg.sampling_rate), 2)
+    quality["se_cos_src_vs_tgt"] = round(
+        se_cosine(meter, src_clip, meter._se_from_audio_batch([tgt_clip])), 4)
+
     print(json.dumps({
         "metric": "train_real_demo",
+        **quality,
         "backend": jax.default_backend(),
         "adversarial": not args.mel_only,
         "steps": args.steps, "batch": args.batch,
