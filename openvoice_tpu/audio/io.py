@@ -214,6 +214,10 @@ def load_audio(path: str, sr: int | None = None, mono: bool = True) -> tuple[np.
         from openvoice_tpu.audio.flac import read_flac
 
         audio, file_sr = read_flac(path)
+    elif ext in (".m4a", ".aac", ".mp4", ".wma", ".webm", ".mka"):
+        from openvoice_tpu.audio.ffdec import read_any
+
+        audio, file_sr = read_any(path)
     else:
         audio, file_sr = read_wav(path)
     if mono and audio.ndim > 1:

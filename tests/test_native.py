@@ -452,6 +452,83 @@ def test_flac_load_audio_dispatch(tmp_path):
     assert abs(len(a) - 2 * 16000) <= 2
 
 
+# ---------------------------------------------------------------------------
+# m4a/aac via system ffmpeg (optional separate lib, native/src/ffdec.cc)
+# ---------------------------------------------------------------------------
+
+
+def _ffdec_or_skip():
+    from openvoice_tpu.audio import ffdec
+
+    if not ffdec.available():
+        pytest.skip("libovt_ffdec not built (system ffmpeg missing)")
+    return ffdec
+
+
+def test_m4a_encode_decode_roundtrip(tmp_path):
+    """AAC-in-m4a encode → decode: length within codec delay/padding, tone
+    spectral peak preserved at 96 kbps."""
+    ffdec = _ffdec_or_skip()
+    sr = 22050
+    t = np.arange(3 * sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 220 * t) + 0.1 * np.sin(2 * np.pi * 880 * t)).astype(
+        np.float32
+    )
+    p = str(tmp_path / "rt.m4a")
+    ffdec.write_m4a(p, x, sr, kbps=96)
+    y, sr2 = ffdec.read_any(p)
+    assert sr2 == sr
+    assert abs(len(y) - len(x)) < 8192  # aac encoder delay + flush padding
+    spec = np.abs(np.fft.rfft(y[sr : 2 * sr]))
+    freqs = np.fft.rfftfreq(sr, 1.0 / sr)
+    assert abs(freqs[int(np.argmax(spec))] - 220.0) < 2.0
+
+
+def test_m4a_stereo_load_audio_and_bad_input(tmp_path):
+    ffdec = _ffdec_or_skip()
+    from openvoice_tpu.audio.io import load_audio
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    xs = np.stack(
+        [0.3 * np.sin(2 * np.pi * 220 * t), 0.3 * np.sin(2 * np.pi * 330 * t)], axis=1
+    ).astype(np.float32)
+    p = str(tmp_path / "s.m4a")
+    ffdec.write_m4a(p, xs, sr)
+    y, sr2 = ffdec.read_any(p)
+    assert sr2 == sr and y.ndim == 2 and y.shape[1] == 2
+    a, asr = load_audio(p, sr=16000)  # dispatch + mono mixdown + resample
+    assert asr == 16000 and a.ndim == 1
+    bad = str(tmp_path / "bad.m4a")
+    open(bad, "wb").write(b"\x00" * 256)
+    with pytest.raises(ValueError):
+        ffdec.read_any(bad)
+    with pytest.raises(ValueError):
+        ffdec.write_m4a(str(tmp_path / "x.m4a"), xs, sr, kbps=-1)
+
+
+def test_ffdec_cross_decodes_native_codec_output(tmp_path):
+    """The universal decoder agrees with the dedicated codecs on their own
+    files (independent implementations of the mp3 bitstream path)."""
+    ffdec = _ffdec_or_skip()
+    from openvoice_tpu.audio.mp3 import encoder_available, read_mp3, write_mp3
+
+    if not encoder_available():
+        pytest.skip("libmp3lame not available")
+    sr = 22050
+    t = np.arange(2 * sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    p = str(tmp_path / "x.mp3")
+    write_mp3(p, x, sr, kbps=128)
+    y_native, _ = read_mp3(p)
+    y_ff, ffsr = ffdec.read_any(p)
+    assert ffsr == sr
+    # both decoders see the same signal; allow delay-alignment wiggle
+    n = min(len(y_native), len(y_ff))
+    corr = np.corrcoef(y_native[:n], y_ff[:n])[0, 1]
+    assert corr > 0.98, corr
+
+
 def test_ogg_encode_decode_roundtrip(tmp_path):
     """vorbisenc encode → vorbisfile decode: Vorbis is sample-exact in
     length (no codec delay) and preserves the tone's spectral peak."""
