@@ -184,10 +184,18 @@ class PrefetchIterator:
             except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
                 self._err.append(e)
             finally:
-                try:
-                    self._q.put_nowait(self._done)
-                except _queue.Full:
-                    pass  # consumer gone; close() drains
+                # the done marker must be DELIVERED, not best-effort: with a
+                # fast producer the queue is typically FULL when iteration
+                # ends, and a dropped marker deadlocks the consumer on
+                # get() after it drains the last batch (hit in practice on
+                # TPU, where the device step is slower than batch prep) —
+                # so block (stop-aware) until there is room
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._done, timeout=0.1)
+                        break
+                    except _queue.Full:
+                        continue
 
         self._thread = _threading.Thread(target=worker, daemon=True)
         self._thread.start()

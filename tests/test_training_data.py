@@ -114,6 +114,32 @@ def test_prefetch_iterator_close_stops_worker():
     assert not it2._thread.is_alive()
 
 
+def test_prefetch_iterator_slow_consumer_gets_stop_iteration():
+    """Deadlock regression (hit on TPU, r5): with a fast producer the queue
+    is FULL when iteration ends; the done marker used to be dropped
+    (put_nowait), leaving a drained consumer blocked on get() forever.
+    A slow consumer must still receive StopIteration."""
+    import threading
+    import time as _time
+
+    from openvoice_tpu.training.data import PrefetchIterator
+
+    got: list[int] = []
+    finished = threading.Event()
+
+    def consume():
+        it = PrefetchIterator(iter(range(8)), depth=2)
+        for x in it:  # slower than the producer by construction
+            got.append(x)
+            _time.sleep(0.05)
+        finished.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert finished.wait(timeout=10.0), "consumer deadlocked after drain"
+    assert got == list(range(8))
+
+
 def test_train_step_consumes_batches(dataset_dir):
     from openvoice_tpu.training.train import init_train_state, train_step
     import jax.numpy as jnp
