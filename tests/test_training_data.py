@@ -140,6 +140,29 @@ def test_prefetch_iterator_slow_consumer_gets_stop_iteration():
     assert got == list(range(8))
 
 
+def test_loop_train_checkpoint_resume_and_on_step(dataset_dir, tmp_path):
+    """training.loop.train direct (in-process) coverage: periodic
+    checkpoints land, a second call RESUMES from latest_step instead of
+    restarting, and the on_step hook fires for exactly the steps run."""
+    from openvoice_tpu.ckpt import native_io as CIO
+    from openvoice_tpu.training.loop import train
+
+    ckpt = str(tmp_path / "ck")
+    seen: list[int] = []
+    train(dataset_dir, TINY, steps=5, batch_size=2, segment_frames=24,
+          adversarial=False, ckpt_dir=ckpt, ckpt_every=2, log_every=0,
+          on_step=lambda s, m: seen.append(s))
+    assert seen == [1, 2, 3, 4, 5]
+    assert CIO.latest_step(ckpt) == 5  # final save on exit
+
+    seen2: list[int] = []
+    train(dataset_dir, TINY, steps=8, batch_size=2, segment_frames=24,
+          adversarial=False, ckpt_dir=ckpt, ckpt_every=2, log_every=0,
+          on_step=lambda s, m: seen2.append(s))
+    assert seen2 == [6, 7, 8]  # resumed, not restarted
+    assert CIO.latest_step(ckpt) == 8
+
+
 def test_train_step_consumes_batches(dataset_dir):
     from openvoice_tpu.training.train import init_train_state, train_step
     import jax.numpy as jnp
