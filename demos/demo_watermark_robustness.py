@@ -126,6 +126,24 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         abuses.append((f"REAL Ogg/Vorbis (error: {exc})", None))
 
+    try:
+        from openvoice_tpu.audio import ffdec
+
+        if ffdec.available():
+            import tempfile
+
+            for kbps in (96, 32):
+                fd, path = tempfile.mkstemp(suffix=".m4a")
+                os.close(fd)
+                ffdec.write_m4a(path, marked, SR, kbps=kbps)
+                y, _ = ffdec.read_any(path)
+                os.unlink(path)
+                abuses.append((f"REAL AAC/m4a {kbps} kbps", np.asarray(y, np.float32)))
+        else:
+            abuses.append(("REAL AAC/m4a (ffmpeg libs missing)", None))
+    except Exception as exc:  # noqa: BLE001
+        abuses.append((f"REAL AAC/m4a (error: {exc})", None))
+
     # combination chain: mp3 + re-gain + PCM16 + pad
     try:
         from openvoice_tpu.audio.mp3 import encoder_available, read_mp3, write_mp3

@@ -180,6 +180,27 @@ def audio_to_tmp_wav(audio: np.ndarray, sr: int) -> str:
     not os.path.exists(os.path.join(RESOURCES, "demo_speaker0.mp3")),
     reason="reference demo resources not present",
 )
+def test_watermark_survives_aac_on_real_speech(tmp_path):
+    """Real speech through a real AAC codec (ffmpeg native encoder, m4a
+    container).  Measured r5 floor: survives to 32 kbps — BELOW the
+    mp3/Opus/Vorbis 64 kbps floors (AAC's spectral-band-replication-free
+    low-band coding keeps the 300-6000 Hz lattice intact longer); 24 kbps
+    is the measured failure point (docs/QA.md)."""
+    from openvoice_tpu.audio.ffdec import available, read_any, write_m4a
+    from openvoice_tpu.audio.io import load_audio
+    from openvoice_tpu.pipeline import watermark as W
+
+    if not available():
+        pytest.skip("libovt_ffdec not built (system ffmpeg missing)")
+    audio, _ = load_audio(os.path.join(RESOURCES, "demo_speaker0.mp3"), sr=22050)
+    marked = W.add_watermark(audio[: 16000 * 16].astype(np.float32), "@MyShell")
+    for kbps in (96, 48, 32):
+        p = str(tmp_path / f"wm{kbps}.m4a")
+        write_m4a(p, marked, 22050, kbps=kbps)
+        dec, _ = read_any(p)
+        assert W.detect_watermark(dec.astype(np.float32), 2) == "@MyShell", kbps
+
+
 def test_watermark_survives_mp3_64k_on_real_speech(tmp_path):
     """Real speech (the bundled demo clip) watermarked, re-encoded with a
     REAL lame codec at 64 kbps CBR, decoded, detected.  Speech is the
